@@ -1,0 +1,400 @@
+"""Configuration system.
+
+Plain Python dataclasses with YAML + CLI dot-override layering, replicating
+the semantics of the reference's Hydra/OmegaConf stack
+(ref: one_peace/train.py:472-500, fairseq/fairseq/dataclass/configs.py) with
+no external dependency beyond PyYAML.
+
+Model-architecture defaults below are the *released* ONE-PEACE 4B settings
+(ref: one_peace/run_scripts/finetune_3B.yaml:77-130), not the dataclass
+defaults of the reference code — the dataclass defaults there are overridden
+by every shipped YAML.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Adapter configs (ref: one_peace/models/unify_model_config.py:14-121)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextAdapterConfig:
+    bucket_size: int = 256
+    layernorm_embedding: bool = False
+    add_type_embedding: bool = False
+    shrink_alpha: float = 1.0
+    dropout: float = 0.0
+    use_attn_bias: bool = True
+    vocab_size: int = 0  # filled from the dictionary at build time
+    padding_idx: int = 1
+    max_positions: int = 512 + 2  # learned abs pos table size (ref text.py:60)
+
+
+@dataclass
+class ImageAdapterConfig:
+    bucket_size: int = 16  # abs-pos grid (patch_image_size // 16)
+    rel_bucket_size: int = 16
+    layernorm_embedding: bool = False
+    add_type_embedding: bool = False
+    vision_encoder_type: str = "hmlp"  # mlp | hmlp | none
+    shrink_alpha: float = 1.0
+    dropout: float = 0.0
+    use_attn_bias: bool = True
+
+
+@dataclass
+class AudioAdapterConfig:
+    feature_embed_dim: int = 512
+    # wav2vec2-style conv stack: (channels, kernel, stride) per layer
+    # (ref: unify_model_config.py:74-77)
+    feature_encoder_spec: Tuple[Tuple[int, int, int], ...] = (
+        (512, 10, 5),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 3, 2),
+        (512, 2, 2),
+        (512, 2, 2),
+    )
+    abs_pos_type: str = "conv"  # conv | fixed
+    conv_pos_depth: int = 5
+    conv_pos_width: int = 95
+    conv_pos_groups: int = 16
+    conv_pos_pre_ln: bool = False
+    bucket_size: int = 512
+    layernorm_embedding: bool = False
+    add_type_embedding: bool = False
+    shrink_alpha: float = 1.0
+    dropout: float = 0.0
+    use_attn_bias: bool = True
+    conv_bias: bool = False
+    freeze_extractor: bool = False
+
+
+# ---------------------------------------------------------------------------
+# Encoder / decoder config (ref: unify_model_config.py:124-219)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EncoderConfig:
+    text_adapter: TextAdapterConfig = field(default_factory=TextAdapterConfig)
+    image_adapter: ImageAdapterConfig = field(default_factory=ImageAdapterConfig)
+    audio_adapter: AudioAdapterConfig = field(default_factory=AudioAdapterConfig)
+
+    embed_dim: int = 1536
+    ffn_embed_dim: int = 6144
+    layers: int = 40
+    attention_heads: int = 24
+
+    drop_path_rate: float = 0.0
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+
+    # Released 4B settings (ref: finetune_3B.yaml:121-130)
+    magneto_scale_attn: bool = True  # LN before attention out-proj
+    scale_attn: bool = False  # LN after attention (Magneto variant)
+    scale_fc: bool = True  # LN inside the GeGLU FFN
+    scale_heads: bool = False  # per-head output gains (c_attn)
+
+    use_text_moe: bool = True
+    use_image_moe: bool = True
+    use_audio_moe: bool = True
+
+    use_layer_scale: bool = True
+    layer_scale_init_value: float = 1e-6
+
+    max_positions: int = 1024
+    layerdrop: float = 0.0
+    checkpoint_activations: bool = False
+
+    # attention implementation: 'pallas' (fused flash kernel) or 'xla'
+    attn_impl: str = "xla"
+
+
+@dataclass
+class ModelConfig:
+    """Top-level model config (encoder + small pretrain decoder).
+
+    ref: unify_model_config.py:216-219 (UnifyModelConfig)
+    """
+
+    _name: str = "one_peace_retrieval"
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: EncoderConfig = field(default_factory=EncoderConfig)
+    # one rel-pos table per layer instead of a shared one
+    # (ref: one_peace_retrieval.py:30-31 copy_rel_pos_table)
+    copy_rel_pos_table: bool = False
+    head_type: str = "val"  # text | image | audio | vl | al | val
+
+
+def decoder_default_config() -> EncoderConfig:
+    """The 2-layer / 768-dim pretrain decoder settings
+    (ref: run_scripts/pretrain/pretrain_vl_3B.yaml:132-168)."""
+    dec = EncoderConfig(
+        embed_dim=768,
+        ffn_embed_dim=2048,
+        layers=2,
+        attention_heads=12,
+        use_layer_scale=False,
+        use_audio_moe=False,
+    )
+    dec.text_adapter.use_attn_bias = False
+    dec.image_adapter.use_attn_bias = False
+    dec.image_adapter.vision_encoder_type = "none"
+    dec.audio_adapter.use_attn_bias = False
+    return dec
+
+
+# ---------------------------------------------------------------------------
+# Task / training configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TaskConfig:
+    _name: str = ""
+    data: str = ""
+    valid_data: str = ""
+    selected_cols: str = ""
+    bpe_dir: str = ""
+    max_src_length: int = 70
+    patch_image_size: int = 256
+    max_duration: int = 15
+    head_type: str = "val"
+    # pretrain masking ratios (ref: pretrain_vl_3B.yaml:11-16)
+    text_mask_ratio: float = 0.15
+    image_mask_ratio: float = 0.75
+    vl_text_mask_ratio: float = 0.4
+    vl_image_mask_ratio: float = 0.6875
+    audio_mask_ratio: float = 0.55
+    al_text_mask_ratio: float = 0.4
+    al_audio_mask_ratio: float = 0.45
+    min_scale: float = 0.9
+    valid_file: str = ""
+    use_template: bool = False
+    zero_shot: bool = False
+
+
+@dataclass
+class CriterionConfig:
+    _name: str = ""
+    label_smoothing: float = 0.0
+    dcl_text_alpha: float = 0.5
+    dcl_image_alpha: float = 1.0
+    dcl_audio_alpha: float = 1.0
+    dcl_vl_text_alpha: float = 0.5
+    dcl_vl_image_alpha: float = 0.5
+    dcl_al_text_alpha: float = 0.5
+    dcl_al_audio_alpha: float = 0.5
+    dcl_logit_scale: float = 2.5
+
+
+@dataclass
+class OptimizerConfig:
+    _name: str = "adamw"
+    adam_betas: Tuple[float, float] = (0.9, 0.98)
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.05
+    use_adan: bool = False
+
+
+@dataclass
+class LRSchedulerConfig:
+    _name: str = "cosine"
+    warmup_updates: int = 0
+    warmup_ratio: float = 0.0
+    min_lr: float = 1e-6
+    max_update: int = 0
+
+
+@dataclass
+class OptimizationConfig:
+    max_epoch: int = 0
+    max_update: int = 0
+    lr: float = 5e-4
+    update_freq: int = 1
+    clip_norm: float = 0.0
+    layer_decay: float = 1.0
+    skip_remainder_batch: bool = False
+
+
+@dataclass
+class DatasetConfig:
+    num_workers: int = 0
+    batch_size: int = 8
+    batch_size_valid: int = 8
+    fixed_validation_seed: int = 3407
+    validate_interval: int = 1
+    ensure_equal_batch: bool = True
+
+
+@dataclass
+class CommonConfig:
+    seed: int = 3407
+    bf16: bool = True
+    no_bias_decay: bool = True
+    log_format: str = "simple"
+    log_interval: int = 10
+    tensorboard_logdir: str = ""
+
+
+@dataclass
+class CheckpointConfig:
+    save_dir: str = "checkpoints"
+    restore_file: str = ""
+    keep_last_epochs: int = -1
+    save_interval: int = 1
+    save_interval_updates: int = 0
+    best_checkpoint_metric: str = ""
+    maximize_best_checkpoint_metric: bool = True
+    no_save_optimizer_state: bool = False
+    reset_optimizer: bool = False
+    reset_dataloader: bool = False
+    reset_meters: bool = False
+
+
+@dataclass
+class DistributedConfig:
+    # logical mesh axis sizes; -1 means "all remaining devices"
+    dp: int = -1
+    fsdp: int = 1
+    tp: int = 1
+    # ZeRO-style parameter/optimizer sharding over the fsdp axis
+    shard_params: bool = True
+
+
+@dataclass
+class EMAConfig:
+    store_ema: bool = False
+    ema_decay: float = 0.9999
+    ema_start_update: int = 0
+    ema_update_freq: int = 1
+    ema_fp32: bool = True
+
+
+@dataclass
+class FrameworkConfig:
+    """Root config: composes every subsystem
+    (ref: fairseq/dataclass/configs.py:99+ FairseqConfig)."""
+
+    common: CommonConfig = field(default_factory=CommonConfig)
+    distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    ema: EMAConfig = field(default_factory=EMAConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    task: TaskConfig = field(default_factory=TaskConfig)
+    criterion: CriterionConfig = field(default_factory=CriterionConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    lr_scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+
+
+# ---------------------------------------------------------------------------
+# YAML / dict overlay machinery
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    """Best-effort coercion of YAML/CLI scalars onto dataclass field types."""
+    if value is None:
+        return None
+    if target_type in (int, float, bool, str):
+        if target_type is bool and isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        if target_type is int and isinstance(value, str):
+            return int(float(value))
+        return target_type(value)
+    # tuples like adam_betas given as "(0.9,0.98)" or lists
+    origin = getattr(target_type, "__origin__", None)
+    if origin is tuple:
+        if isinstance(value, str):
+            value = value.strip("()[] ").split(",")
+        return tuple(
+            _coerce(v, target_type.__args__[0] if target_type.__args__ else float)
+            for v in value
+            if v != ""
+        )
+    return value
+
+
+def merge_dict(cfg: Any, overrides: Dict[str, Any]) -> Any:
+    """Recursively merge a plain dict onto a dataclass instance (in place)."""
+    field_map = {f.name: f for f in fields(cfg)}
+    for key, value in overrides.items():
+        if key not in field_map:
+            raise KeyError(f"unknown config key {key!r} for {type(cfg).__name__}")
+        current = getattr(cfg, key)
+        if is_dataclass(current) and isinstance(value, dict):
+            merge_dict(current, value)
+        else:
+            ftype = field_map[key].type
+            try:
+                setattr(cfg, key, _coerce(value, eval(ftype) if isinstance(ftype, str) else ftype))  # noqa: S307
+            except Exception:
+                setattr(cfg, key, value)
+    return cfg
+
+
+def apply_dot_overrides(cfg: Any, dotlist: List[str]) -> Any:
+    """Apply CLI-style overrides: ``a.b.c=value``."""
+    import yaml
+
+    for item in dotlist:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of form key=value")
+        key, _, raw = item.partition("=")
+        value = yaml.safe_load(raw)
+        node: Dict[str, Any] = {}
+        cursor = node
+        parts = key.strip().split(".")
+        for part in parts[:-1]:
+            cursor[part] = {}
+            cursor = cursor[part]
+        cursor[parts[-1]] = value
+        merge_dict(cfg, node)
+    return cfg
+
+
+def load_config(
+    yaml_path: Optional[str] = None,
+    overrides: Optional[List[str]] = None,
+    base: Optional[FrameworkConfig] = None,
+) -> FrameworkConfig:
+    """Structured defaults <- YAML file <- CLI dot-overrides
+    (layering semantics of ref one_peace/train.py:472-500)."""
+    import yaml
+
+    cfg = copy.deepcopy(base) if base is not None else FrameworkConfig()
+    if yaml_path:
+        with open(yaml_path) as fh:
+            doc = yaml.safe_load(fh) or {}
+        merge_dict(cfg, doc)
+    if overrides:
+        apply_dot_overrides(cfg, overrides)
+    return cfg
+
+
+def to_dict(cfg: Any) -> Any:
+    """Dataclass tree -> plain dict (for checkpoint metadata)."""
+    if is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def from_dict(cls: Any, doc: Dict[str, Any]) -> Any:
+    """Plain dict -> dataclass tree (checkpoint metadata restore)."""
+    cfg = cls()
+    merge_dict(cfg, doc)
+    return cfg

@@ -1,0 +1,46 @@
+"""Name -> class registries with a ``_name`` discriminator.
+
+Mirrors the capability of fairseq's ``registry.setup_registry``
+(ref: fairseq/fairseq/registry.py:14-62) without the metaprogramming:
+a registry is a dict plus a decorator.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Type
+
+
+class Registry:
+    def __init__(self, kind: str):
+        self.kind = kind
+        self._entries: Dict[str, Any] = {}
+
+    def register(self, name: str) -> Callable[[Type], Type]:
+        def deco(cls: Type) -> Type:
+            if name in self._entries:
+                raise ValueError(f"{self.kind} {name!r} already registered")
+            self._entries[name] = cls
+            cls.registry_name = name
+            return cls
+
+        return deco
+
+    def get(self, name: str) -> Any:
+        if name not in self._entries:
+            raise KeyError(
+                f"unknown {self.kind} {name!r}; available: {sorted(self._entries)}"
+            )
+        return self._entries[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._entries
+
+    def names(self):
+        return sorted(self._entries)
+
+
+TASKS = Registry("task")
+MODELS = Registry("model")
+CRITERIONS = Registry("criterion")
+OPTIMIZERS = Registry("optimizer")
+LR_SCHEDULERS = Registry("lr_scheduler")

@@ -1,0 +1,256 @@
+"""Public inference API — the ``from_pretrained`` hub interface.
+
+API parity with the reference (ref: one_peace/models/one_peace/
+hub_interface.py:53-226): ``from_pretrained`` loads a fairseq ``.pt``
+checkpoint (converted on the fly) or a native ``.npz``/orbax checkpoint,
+and the interface exposes ``process_text/image/audio`` +
+``extract_{text,image,audio,vl}_features``.
+
+Preprocessing parity:
+- text: ``' ' + lower()`` -> GPT-2 BPE -> dict ids -> trunc 70 -> +EOS
+  (hub_interface.py:134-148);
+- image: PIL bicubic resize to (patch_image_size,)*2, CLIP mean/std
+  (hub_interface.py:92-101);
+- audio: 16 kHz mono waveform, LayerNorm over the raw waveform, crop to
+  15 s / tile to >= 1 s, conv-length arithmetic for the padding mask
+  (hub_interface.py:170-193).  The reference decodes via librosa; here WAV
+  is decoded with the stdlib and other formats take pre-decoded arrays
+  (or the native decoder, when built).
+
+Each ``extract_*`` path is jitted once per input shape; inputs are padded
+to shape buckets to avoid recompilation (SURVEY.md §7 hard part 7).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import ModelConfig, TaskConfig
+from .data.tokenizer import TextTokenizer, find_bpe_dir
+from .models.adapters.audio import conv_output_length
+from .models.one_peace import OnePeaceRetrievalModel
+from .utils.checkpoint_convert import (
+    convert_retrieval_model,
+    load_torch_state_dict,
+    to_jax,
+)
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _load_wav(path: str, target_sr: int = 16000) -> np.ndarray:
+    """Decode a WAV file to mono fp32 at target_sr (stdlib + scipy)."""
+    import wave
+
+    with wave.open(path, "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        data = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        data = data.reshape(-1, ch).mean(axis=1)
+    if sr != target_sr:
+        from scipy.signal import resample_poly
+
+        g = math.gcd(sr, target_sr)
+        data = resample_poly(data, target_sr // g, sr // g).astype(np.float32)
+    return data
+
+
+def load_audio(path_or_array, target_sr: int = 16000) -> np.ndarray:
+    """Accepts a file path (wav/flac) or a raw waveform array."""
+    if isinstance(path_or_array, np.ndarray):
+        return path_or_array.astype(np.float32)
+    path = str(path_or_array)
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        return _load_wav(path, target_sr)
+    if ext == ".flac":
+        from .data.flac import read_flac  # native/pure decoder
+
+        wav, sr = read_flac(path)
+        if sr != target_sr:
+            from scipy.signal import resample_poly
+
+            g = math.gcd(sr, target_sr)
+            wav = resample_poly(wav, target_sr // g, sr // g).astype(np.float32)
+        return wav
+    raise ValueError(f"unsupported audio format: {path}")
+
+
+def from_pretrained(
+    model_path: str,
+    model_type: str = "one_peace_retrieval",
+    dtype: str = "float32",
+    bpe_dir: Optional[str] = None,
+    model_cfg: Optional[ModelConfig] = None,
+    task_cfg: Optional[TaskConfig] = None,
+    attn_impl: str = "xla",
+) -> "OnePeaceHubInterface":
+    """Load a checkpoint into the retrieval model.
+
+    ``model_path`` may be a fairseq ``.pt`` (converted via
+    utils/checkpoint_convert) or a native ``.npz`` of flat params.
+    """
+    if model_cfg is None:
+        model_cfg = ModelConfig(_name=model_type)
+        model_cfg.encoder.attn_impl = attn_impl
+    if task_cfg is None:
+        task_cfg = TaskConfig()
+        model_cfg.encoder.image_adapter.rel_bucket_size = task_cfg.patch_image_size // 16
+    jdtype = {"float32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}[dtype]
+
+    model = OnePeaceRetrievalModel(model_cfg)
+    if model_path.endswith(".pt"):
+        sd = load_torch_state_dict(model_path)
+        params = to_jax(convert_retrieval_model(sd, model_cfg), dtype=jdtype)
+    else:
+        from .utils.native_checkpoint import load_params
+
+        params = load_params(model_path, dtype=jdtype)
+    return OnePeaceHubInterface(model_cfg, task_cfg, model, params, dtype=jdtype,
+                                bpe_dir=bpe_dir)
+
+
+class OnePeaceHubInterface:
+    """User-facing embedding interface (ref hub_interface.py:76-226)."""
+
+    def __init__(self, model_cfg: ModelConfig, task_cfg: TaskConfig, model,
+                 params, dtype=jnp.float32, bpe_dir: Optional[str] = None):
+        self.model_cfg = model_cfg
+        self.task_cfg = task_cfg
+        self.model = model
+        self.params = params
+        self.dtype = dtype
+        bpe = find_bpe_dir(bpe_dir or task_cfg.bpe_dir or None)
+        if bpe is None:
+            raise FileNotFoundError(
+                "BPE assets not found; set bpe_dir or $ONE_PEACE_BPE_DIR to a "
+                "directory with encoder.json/vocab.bpe/dict.txt")
+        self.tokenizer = TextTokenizer(bpe, max_src_length=task_cfg.max_src_length)
+        self.feature_encoder_spec = model_cfg.encoder.audio_adapter.feature_encoder_spec
+
+        self._jit_forward = jax.jit(
+            lambda params, batch, et: self.model(params, **batch, encoder_type=et),
+            static_argnames=("et",),
+        )
+
+    # ------------------------------------------------------------------
+    # preprocessing
+    # ------------------------------------------------------------------
+
+    def process_text(self, text_list: Sequence[str], pad_to: Optional[int] = None) -> jnp.ndarray:
+        batch = self.tokenizer.encode_batch(list(text_list))
+        if pad_to is not None and batch.shape[1] < pad_to:
+            batch = np.pad(batch, ((0, 0), (0, pad_to - batch.shape[1])),
+                           constant_values=self.tokenizer.pad)
+        return jnp.asarray(batch)
+
+    def _load_image(self, img) -> np.ndarray:
+        from PIL import Image
+
+        size = self.task_cfg.patch_image_size
+        if isinstance(img, (str, os.PathLike)):
+            img = Image.open(img).convert("RGB")
+        if hasattr(img, "resize"):  # PIL image: bicubic resize like the ref
+            img = img.resize((size, size), Image.BICUBIC)
+            arr = np.asarray(img, np.float32) / 255.0
+        else:
+            arr = np.asarray(img, np.float32)
+        arr = (arr - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
+        return arr.transpose(2, 0, 1)  # CHW for API parity
+
+    def process_image(self, image_list, return_image_sizes: bool = False):
+        from PIL import Image
+
+        arrays, widths, heights = [], [], []
+        for item in image_list:
+            if isinstance(item, (str, os.PathLike)):
+                img = Image.open(item).convert("RGB")
+            else:
+                img = item
+            if hasattr(img, "size"):
+                w, h = img.size
+            else:
+                h, w = img.shape[:2]
+            widths.append(w)
+            heights.append(h)
+            arrays.append(self._load_image(img))
+        src_images = jnp.asarray(np.stack(arrays), self.dtype)
+        if return_image_sizes:
+            return src_images, jnp.asarray(widths), jnp.asarray(heights)
+        return src_images
+
+    def process_audio(self, audio_list, pad_to: Optional[int] = None):
+        """ref hub_interface.py:170-193: LayerNorm the raw waveform, crop to
+        15 s, tile to >= 1 s, build the conv-length padding mask."""
+        sr = 16000
+        feats_list, lengths = [], []
+        for item in audio_list:
+            wav = load_audio(item, sr)
+            wav = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-5)
+            if wav.shape[-1] > sr * self.task_cfg.max_duration:
+                wav = wav[: sr * self.task_cfg.max_duration]
+            if wav.shape[-1] < sr:
+                reps = math.ceil(sr / wav.shape[-1])
+                wav = np.tile(wav, reps)[:sr]
+            feats_list.append(wav)
+            lengths.append(wav.shape[-1])
+        max_len = max(lengths) if pad_to is None else max(pad_to, max(lengths))
+        src = np.zeros((len(feats_list), max_len), np.float32)
+        t_out_max = conv_output_length(max_len, self.feature_encoder_spec)
+        masks = np.ones((len(feats_list), t_out_max + 1), bool)
+        for i, wav in enumerate(feats_list):
+            src[i, : len(wav)] = wav
+            t_out = conv_output_length(len(wav), self.feature_encoder_spec)
+            masks[i, : t_out + 1] = False
+        return jnp.asarray(src, self.dtype), jnp.asarray(masks)
+
+    def process_image_text_pairs(self, image_text_list, return_image_sizes=False):
+        images = [p[0] for p in image_text_list]
+        texts = [p[1] for p in image_text_list]
+        src_tokens = self.process_text(texts)
+        if return_image_sizes:
+            src_images, w, h = self.process_image(images, return_image_sizes=True)
+            return (src_images, w, h), src_tokens
+        return self.process_image(images), src_tokens
+
+    # ------------------------------------------------------------------
+    # feature extraction
+    # ------------------------------------------------------------------
+
+    def extract_text_features(self, src_tokens) -> jnp.ndarray:
+        return self._jit_forward(self.params, {"src_tokens": src_tokens}, "text")
+
+    def extract_image_features(self, src_images) -> jnp.ndarray:
+        return self._jit_forward(self.params, {"src_images": src_images}, "image")
+
+    def extract_audio_features(self, src_audios, audio_padding_masks) -> jnp.ndarray:
+        return self._jit_forward(
+            self.params,
+            {"src_audios": src_audios, "audio_padding_masks": audio_padding_masks},
+            "audio",
+        )
+
+    def extract_vl_features(self, src_images, src_tokens):
+        """Joint VL forward returning per-modality features."""
+        return self.model.wrapper(
+            self.params["encoder_wrapper"], src_tokens=src_tokens,
+            src_images=src_images, encoder_type="vl")

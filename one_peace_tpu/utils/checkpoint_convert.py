@@ -1,0 +1,277 @@
+"""Fairseq checkpoint ingestion.
+
+Converts the reference's PyTorch state dict (``one-peace.pt``-style, saved
+by fairseq: a flat ``model`` dict of torch tensors) into this framework's
+nested parameter pytree, replicating the reference's
+``upgrade_state_dict_named`` rules (SURVEY.md §5 "schema migration"):
+
+- legacy ``rel_pos_table.weight`` -> ``rel_pos_table_list.0.weight``
+  (ref adapter/text.py:169-172);
+- a single shared rel-pos table broadcast to one per layer when the model
+  wants per-layer tables (ref adapter/text.py:173-178);
+- absolute/relative positional tables interpolated to new resolutions
+  (ref adapter/image.py:262-305) — abs pos via torch-compatible bicubic
+  (utils/interpolate.py), rel tables via geometric-spaced cubic;
+- modality branches not used by the head pruned
+  (ref one_peace_retrieval.py:143-150).
+
+Layout conversions to the TPU-native parameter scheme:
+- torch Linear (out, in) -> (in, out);
+- torch Conv2d (out, in, kh, kw) -> NHWC HWIO (kh, kw, in, out);
+- torch Conv1d (out, in/groups, k) -> NWC WIO (k, in/groups, out);
+- per-layer transformer weights stacked along a leading ``layers`` axis
+  (matching the scan-based encoder).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a fairseq .pt checkpoint to {name: np.ndarray} on host."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    state = ckpt.get("model", ckpt)
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in state.items()}
+
+
+def _lin(sd, name, bias=True):
+    p = {"w": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if bias and f"{name}.bias" in sd:
+        p["b"] = sd[f"{name}.bias"]
+    return p
+
+
+def _ln(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def upgrade_state_dict(sd: Dict[str, np.ndarray], num_layers_rel: int) -> Dict[str, np.ndarray]:
+    """Apply the reference's legacy-key upgrades in place."""
+    out = dict(sd)
+    for prefix in list({k.rsplit("rel_pos_table.weight", 1)[0]
+                        for k in sd if k.endswith("rel_pos_table.weight")}):
+        out[f"{prefix}rel_pos_table_list.0.weight"] = out.pop(f"{prefix}rel_pos_table.weight")
+    if num_layers_rel > 1:
+        adapters = {k.rsplit("rel_pos_table_list.", 1)[0]
+                    for k in out if "rel_pos_table_list.0.weight" in k}
+        for prefix in adapters:
+            if f"{prefix}rel_pos_table_list.1.weight" not in out:
+                base = out[f"{prefix}rel_pos_table_list.0.weight"]
+                for i in range(num_layers_rel):
+                    out[f"{prefix}rel_pos_table_list.{i}.weight"] = base.copy()
+    return out
+
+
+def _collect_rel_tables(sd, prefix) -> Optional[np.ndarray]:
+    tables = []
+    i = 0
+    while f"{prefix}.rel_pos_table_list.{i}.weight" in sd:
+        tables.append(sd[f"{prefix}.rel_pos_table_list.{i}.weight"])
+        i += 1
+    if not tables:
+        return None
+    return np.stack(tables)
+
+
+def convert_text_adapter(sd, prefix) -> Dict[str, Any]:
+    p = {
+        "embed_tokens": sd[f"{prefix}.embed_tokens.weight"],
+        "embed_positions": sd[f"{prefix}.embed_positions.weight"],
+        "cls_embedding": sd[f"{prefix}.cls_embedding"],
+    }
+    if f"{prefix}.layernorm_embedding.weight" in sd:
+        p["layernorm_embedding"] = _ln(sd, f"{prefix}.layernorm_embedding")
+    if f"{prefix}.type_embedding" in sd:
+        p["type_embedding"] = sd[f"{prefix}.type_embedding"]
+    rel = _collect_rel_tables(sd, prefix)
+    if rel is not None:
+        p["rel_pos_table"] = rel
+    return p
+
+
+def convert_image_adapter(sd, prefix, vision_encoder_type="hmlp") -> Dict[str, Any]:
+    p = {
+        "cls_embedding": sd[f"{prefix}.cls_embedding"],
+        "pos_embed": sd[f"{prefix}.pos_embed"],
+    }
+    if vision_encoder_type == "hmlp":
+        # Sequential indices: 0 conv4, 1 LN2D, 3 conv2, 4 LN2D, 6 conv2
+        def conv(i):
+            w = sd[f"{prefix}.embed_images.{i}.weight"]  # (out, in, kh, kw)
+            c = {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+            if f"{prefix}.embed_images.{i}.bias" in sd:
+                c["b"] = sd[f"{prefix}.embed_images.{i}.bias"]
+            return c
+
+        p["hmlp"] = {
+            "conv1": conv(0),
+            "ln1": _ln(sd, f"{prefix}.embed_images.1.layer_norm"),
+            "conv2": conv(3),
+            "ln2": _ln(sd, f"{prefix}.embed_images.4.layer_norm"),
+            "conv3": conv(6),
+        }
+    elif vision_encoder_type == "mlp":
+        w = sd[f"{prefix}.embed_images.weight"]
+        p["patch_conv"] = {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{prefix}.layernorm_embedding.weight" in sd:
+        p["layernorm_embedding"] = _ln(sd, f"{prefix}.layernorm_embedding")
+    if f"{prefix}.type_embedding" in sd:
+        p["type_embedding"] = sd[f"{prefix}.type_embedding"]
+        p["type_embedding_2"] = sd[f"{prefix}.type_embedding_2"]
+    rel = _collect_rel_tables(sd, prefix)
+    if rel is not None:
+        p["rel_pos_table"] = rel
+    return p
+
+
+def convert_audio_adapter(sd, prefix, num_feat_layers: int, conv_pos_depth: int) -> Dict[str, Any]:
+    def conv1d_w(name):
+        w = sd[f"{name}.weight"]  # (out, in/groups, k)
+        c = {"w": np.ascontiguousarray(w.transpose(2, 1, 0))}
+        if f"{name}.bias" in sd:
+            c["b"] = sd[f"{name}.bias"]
+        return c
+
+    feat = []
+    for i in range(num_feat_layers):
+        base = f"{prefix}.embed_audios.0.conv_layers.{i}"
+        feat.append({
+            "conv": conv1d_w(f"{base}.0"),
+            "ln": _ln(sd, f"{base}.2.1"),
+        })
+    p = {
+        "feature_extractor": feat,
+        "post_extract_ln": _ln(sd, f"{prefix}.embed_audios.2"),
+        "post_extract_proj": _lin(sd, f"{prefix}.embed_audios.3"),
+        "cls_embedding": sd[f"{prefix}.cls_embedding"],
+        "mask_embedding": sd[f"{prefix}.mask_embedding"],
+    }
+    if f"{prefix}.cls_pos_embed" in sd:
+        p["cls_pos_embed"] = sd[f"{prefix}.cls_pos_embed"]
+        # embed_positions Sequential: 0 TransposeLast, then depth blocks
+        pos_convs = []
+        for i in range(conv_pos_depth):
+            pos_convs.append(conv1d_w(f"{prefix}.embed_positions.{i + 1}.0"))
+        p["pos_convs"] = pos_convs
+        if f"{prefix}.embed_positions.0.weight" in sd:  # conv_pos_pre_ln variant
+            p["pos_pre_ln"] = _ln(sd, f"{prefix}.embed_positions.0")
+    elif f"{prefix}.embed_positions.weight" in sd:
+        p["embed_positions"] = sd[f"{prefix}.embed_positions.weight"]
+    if f"{prefix}.layernorm_embedding.weight" in sd:
+        p["layernorm_embedding"] = _ln(sd, f"{prefix}.layernorm_embedding")
+    if f"{prefix}.type_embedding" in sd:
+        p["type_embedding"] = sd[f"{prefix}.type_embedding"]
+    rel = _collect_rel_tables(sd, prefix)
+    if rel is not None:
+        p["rel_pos_table"] = rel
+    return p
+
+
+def convert_encoder_layer(sd, prefix) -> Dict[str, Any]:
+    attn_prefix = f"{prefix}.self_attn"
+    attn = {
+        "q_proj": _lin(sd, f"{attn_prefix}.q_proj"),
+        "k_proj": _lin(sd, f"{attn_prefix}.k_proj"),
+        "v_proj": _lin(sd, f"{attn_prefix}.v_proj"),
+        "out_proj": _lin(sd, f"{attn_prefix}.out_proj"),
+    }
+    if f"{attn_prefix}.c_attn" in sd:
+        attn["c_attn"] = sd[f"{attn_prefix}.c_attn"]
+    if f"{attn_prefix}.ln.weight" in sd:
+        attn["ln"] = _ln(sd, f"{attn_prefix}.ln")
+    layer = {
+        "self_attn": attn,
+        "self_attn_layer_norm": _ln(sd, f"{prefix}.self_attn_layer_norm"),
+        "final_layer_norm": _ln(sd, f"{prefix}.final_layer_norm"),
+    }
+    if f"{prefix}.attn_ln.weight" in sd:
+        layer["attn_ln"] = _ln(sd, f"{prefix}.attn_ln")
+    for mod in ("text", "image", "audio"):
+        base = f"{prefix}.{mod}_ffn"
+        if f"{base}.0.wi_0.weight" not in sd:
+            continue
+        ffn = {
+            "wi_0": _lin(sd, f"{base}.0.wi_0"),
+            "wi_1": _lin(sd, f"{base}.0.wi_1"),
+            "wo": _lin(sd, f"{base}.3"),
+        }
+        if f"{base}.2.weight" in sd:
+            ffn["ffn_ln"] = _ln(sd, f"{base}.2")
+        layer[f"{mod}_ffn"] = ffn
+    if f"{prefix}.gamma_1" in sd:
+        layer["gamma_1"] = sd[f"{prefix}.gamma_1"]
+        layer["gamma_2"] = sd[f"{prefix}.gamma_2"]
+    return layer
+
+
+def _stack_layers(layers) -> Dict[str, Any]:
+    """list of per-layer trees -> one tree with stacked leaves."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+def convert_wrapper(sd, prefix, enc_cfg) -> Dict[str, Any]:
+    params: Dict[str, Any] = {}
+    if any(k.startswith(f"{prefix}.text_adapter.") for k in sd):
+        params["text_adapter"] = convert_text_adapter(sd, f"{prefix}.text_adapter")
+    if any(k.startswith(f"{prefix}.image_adapter.") for k in sd):
+        params["image_adapter"] = convert_image_adapter(
+            sd, f"{prefix}.image_adapter", enc_cfg.image_adapter.vision_encoder_type)
+    if any(k.startswith(f"{prefix}.audio_adapter.") for k in sd):
+        params["audio_adapter"] = convert_audio_adapter(
+            sd, f"{prefix}.audio_adapter",
+            len(enc_cfg.audio_adapter.feature_encoder_spec),
+            enc_cfg.audio_adapter.conv_pos_depth)
+
+    layers = []
+    i = 0
+    while f"{prefix}.fusion_model.layers.{i}.self_attn_layer_norm.weight" in sd:
+        layers.append(convert_encoder_layer(sd, f"{prefix}.fusion_model.layers.{i}"))
+        i += 1
+    fusion: Dict[str, Any] = {"layers": _stack_layers(layers)}
+    for mod in ("text", "image", "audio"):
+        if f"{prefix}.fusion_model.{mod}_layer_norm.weight" in sd:
+            fusion[f"{mod}_layer_norm"] = _ln(sd, f"{prefix}.fusion_model.{mod}_layer_norm")
+    params["fusion"] = fusion
+    return params
+
+
+def convert_retrieval_model(sd: Dict[str, np.ndarray], model_cfg) -> Dict[str, Any]:
+    """Full conversion for one_peace_retrieval
+    (ref naming from one_peace_retrieval.py:34-131)."""
+    enc = model_cfg.encoder
+    num_rel = enc.layers if model_cfg.copy_rel_pos_table else 1
+    sd = upgrade_state_dict(sd, num_rel)
+    params = {"encoder_wrapper": convert_wrapper(sd, "encoder_wrapper", enc)}
+    for mod in ("text", "image", "audio"):
+        if f"{mod}_proj.weight" in sd:
+            params[f"{mod}_proj"] = _lin(sd, f"{mod}_proj")
+    if "logit_scale" in sd:
+        params["logit_scale"] = sd["logit_scale"].reshape(())
+    return params
+
+
+def to_jax(params, dtype=None):
+    """numpy tree -> jax arrays (optionally casting floats)."""
+    import jax.numpy as jnp
+
+    def cast(x):
+        arr = jnp.asarray(x)
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        return arr
+
+    import jax
+
+    return jax.tree.map(cast, params)

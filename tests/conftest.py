@@ -1,0 +1,16 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding
+semantics are testable without hardware (SURVEY.md §4: the analogue of the
+reference's spawn-on-localhost distributed tests)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,75 @@
+"""Pallas fused attention vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from one_peace_tpu.ops.attention import multihead_attention
+from one_peace_tpu.ops import flash_attention as fa
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Run the Pallas kernel in interpreter mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    orig = fa.pl.pallas_call
+
+    def patched(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(fa.pl, "pallas_call", patched)
+
+
+def _rand(shape, key, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype=dtype)
+
+
+@pytest.mark.parametrize("l", [10, 64])
+@pytest.mark.parametrize("with_bias", [True, False])
+@pytest.mark.parametrize("with_mask", [True, False])
+def test_matches_xla(l, with_bias, with_mask):
+    b, h, d = 2, 4, 16
+    q = _rand((b, l, h, d), 0)
+    k = _rand((b, l, h, d), 1)
+    v = _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3) if with_bias else None
+    mask = None
+    if with_mask:
+        mask = np.zeros((b, l), bool)
+        mask[0, -3:] = True
+        mask = jnp.asarray(mask)
+    scaling = d**-0.5
+    ref = multihead_attention(q, k, v, bias, mask, scaling, impl="xla")
+    out = fa.flash_attention(q, k, v, bias, mask, scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_batched_bias():
+    b, l, h, d = 2, 12, 4, 16
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = _rand((b, h, l, l), 3)
+    scaling = d**-0.5
+    ref = multihead_attention(q, k, v, bias, None, scaling, impl="xla")
+    out = fa.flash_attention(q, k, v, bias, None, scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match():
+    b, l, h, d = 1, 16, 2, 8
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3)
+    scaling = d**-0.5
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(fa.flash_attention(q, k, v, bias, None, scaling) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(multihead_attention(q, k, v, bias, None, scaling, impl="xla") ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,108 @@
+"""Shape/smoke tests for adapters, encoder and retrieval model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from one_peace_tpu.models.one_peace import ModelWrapper, OnePeaceRetrievalModel
+from one_peace_tpu.models.adapters.audio import conv_output_length
+
+from helpers import tiny_encoder_config, tiny_model_config
+
+
+@pytest.fixture(scope="module")
+def wrapper_and_params():
+    cfg = tiny_encoder_config()
+    wrapper = ModelWrapper(cfg)
+    params = wrapper.init(jax.random.PRNGKey(0))
+    return cfg, wrapper, params
+
+
+def _audio_inputs(cfg, bsz, t):
+    spec = cfg.audio_adapter.feature_encoder_spec
+    t_out = conv_output_length(t, spec)
+    src_audios = jnp.asarray(np.random.RandomState(0).randn(bsz, t), jnp.float32)
+    pad = jnp.zeros((bsz, t_out + 1), bool)
+    return src_audios, pad
+
+
+def test_text_forward(wrapper_and_params):
+    cfg, wrapper, params = wrapper_and_params
+    tokens = jnp.array([[5, 6, 7, 1, 1], [8, 9, 10, 11, 1]])
+    text_f, image_f, audio_f = wrapper(params, src_tokens=tokens, encoder_type="text")
+    assert text_f.shape == (2, 6, cfg.embed_dim)
+    assert image_f is None and audio_f is None
+    assert np.isfinite(np.asarray(text_f)).all()
+
+
+def test_image_forward(wrapper_and_params):
+    cfg, wrapper, params = wrapper_and_params
+    images = jnp.asarray(np.random.RandomState(1).randn(2, 3, 32, 32), jnp.float32)
+    _, image_f, _ = wrapper(params, src_images=images, encoder_type="image")
+    assert image_f.shape == (2, 5, cfg.embed_dim)  # (32/16)^2 + 1
+    assert np.isfinite(np.asarray(image_f)).all()
+
+
+def test_audio_forward(wrapper_and_params):
+    cfg, wrapper, params = wrapper_and_params
+    src_audios, pad = _audio_inputs(cfg, 2, 64)
+    _, _, audio_f = wrapper(
+        params, src_audios=src_audios, audio_padding_masks=pad, encoder_type="audio")
+    assert audio_f.shape[0] == 2 and audio_f.shape[2] == cfg.embed_dim
+    assert np.isfinite(np.asarray(audio_f)).all()
+
+
+def test_vl_forward_matches_split(wrapper_and_params):
+    cfg, wrapper, params = wrapper_and_params
+    tokens = jnp.array([[5, 6, 7, 1, 1], [8, 9, 10, 11, 1]])
+    images = jnp.asarray(np.random.RandomState(1).randn(2, 3, 32, 32), jnp.float32)
+    text_f, image_f, _ = wrapper(
+        params, src_tokens=tokens, src_images=images, encoder_type="vl")
+    assert text_f.shape == (2, 6, cfg.embed_dim)
+    assert image_f.shape == (2, 5, cfg.embed_dim)
+
+
+def test_al_forward(wrapper_and_params):
+    cfg, wrapper, params = wrapper_and_params
+    tokens = jnp.array([[5, 6, 7, 1, 1], [8, 9, 10, 11, 1]])
+    src_audios, pad = _audio_inputs(cfg, 2, 64)
+    text_f, _, audio_f = wrapper(
+        params, src_tokens=tokens, src_audios=src_audios,
+        audio_padding_masks=pad, encoder_type="al")
+    assert text_f.shape == (2, 6, cfg.embed_dim)
+    assert audio_f is not None
+
+
+def test_padding_invariance(wrapper_and_params):
+    """Extending a sequence with padding must not change unpadded outputs."""
+    cfg, wrapper, params = wrapper_and_params
+    tokens_short = jnp.array([[5, 6, 7]])
+    tokens_long = jnp.array([[5, 6, 7, 1, 1, 1]])
+    f_short, _, _ = wrapper(params, src_tokens=tokens_short, encoder_type="text")
+    f_long, _, _ = wrapper(params, src_tokens=tokens_long, encoder_type="text")
+    np.testing.assert_allclose(
+        np.asarray(f_short[:, :4]), np.asarray(f_long[:, :4]), rtol=2e-5, atol=2e-5)
+
+
+def test_retrieval_model():
+    cfg = tiny_model_config(head_type="val")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.array([[5, 6, 7, 1]])
+    emb = model(params, src_tokens=tokens, encoder_type="text")
+    assert emb.shape == (1, cfg.encoder.embed_dim)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=-1), 1.0, rtol=1e-5)
+    scale = model.logit_scale_exp(params)
+    np.testing.assert_allclose(float(scale), 1 / 0.07, rtol=1e-5)
+
+
+def test_training_mode_runs():
+    cfg = tiny_encoder_config(dropout=0.1, drop_path_rate=0.2)
+    wrapper = ModelWrapper(cfg)
+    params = wrapper.init(jax.random.PRNGKey(0))
+    tokens = jnp.array([[5, 6, 7, 1, 1]])
+    out, _, _ = wrapper(
+        params, src_tokens=tokens, encoder_type="text",
+        deterministic=False, rng=jax.random.PRNGKey(42))
+    assert np.isfinite(np.asarray(out)).all()
