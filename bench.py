@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: ONE-PEACE 4B embedding throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: images + audio clips embedded per second per chip with the full-size
+4B model (d=1536, ffn=6144, 40 layers, 24 heads — README.md:58-64 of the
+reference), bf16 params/activations, fused Pallas bias-attention.
+
+vs_baseline: ratio against the target of "v5e-8 >= 5x A100 throughput"
+(BASELINE.md): per-chip value * 8 chips / (5 * A100_EST), where A100_EST is
+an estimate of the reference's per-A100 embedding throughput derived from
+peak-FLOPs accounting (no throughput number exists in the reference repo —
+SURVEY.md §6).  vs_baseline >= 1.0 means the 8-chip target is met.
+"""
+
+import json
+import os
+import sys
+import time
+
+# persistent compilation cache: axon remote compiles are minutes; cache makes
+# repeat bench runs start in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_one_peace")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from one_peace_tpu.core.config import ModelConfig  # noqa: E402
+from one_peace_tpu.models.adapters.audio import conv_output_length  # noqa: E402
+from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel  # noqa: E402
+
+# Reference-throughput estimate for one A100 embedding images with the 4B
+# model (xformers + bf16): ~45% MFU of 312 TFLOP/s peak over ~1.0 TFLOP per
+# 256px image through the 1.5B vision branch + shared trunk -> ~140 img/s.
+A100_EST_ITEMS_PER_S = 140.0
+N_CHIPS_TARGET = 8
+IMG_BATCH = int(os.environ.get("BENCH_IMG_BATCH", 32))
+AUD_BATCH = int(os.environ.get("BENCH_AUD_BATCH", 8))
+AUDIO_SECONDS = 10
+STEPS = int(os.environ.get("BENCH_STEPS", 8))
+
+
+def fetch(x):
+    """Force device->host completion.  On the axon platform
+    ``block_until_ready`` returns before execution completes; a host copy
+    is the reliable fence."""
+    return np.asarray(x)
+
+
+def main():
+    # measured on v5e: XLA fused attention currently edges out the Pallas
+    # kernel at these sequence lengths (111 vs 105 img/s @ B=32); keep XLA
+    # as the default until the kernel wins
+    cfg = ModelConfig(head_type="val")
+    cfg.encoder.attn_impl = os.environ.get("BENCH_ATTN", "xla")
+    model = OnePeaceRetrievalModel(cfg)
+
+    t0 = time.time()
+    params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    init_s = time.time() - t0
+    print(f"# params={n_params/1e9:.2f}B init={init_s:.0f}s "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    imgs = jnp.asarray(np.random.RandomState(0).randn(IMG_BATCH, 3, 256, 256),
+                       jnp.bfloat16)
+    wav = jnp.asarray(
+        np.random.RandomState(1).randn(AUD_BATCH, 16000 * AUDIO_SECONDS),
+        jnp.float32)
+    t_frames = conv_output_length(16000 * AUDIO_SECONDS,
+                                  cfg.encoder.audio_adapter.feature_encoder_spec)
+    pad = jnp.zeros((AUD_BATCH, t_frames + 1), bool)
+
+    @jax.jit
+    def embed_images(params, imgs):
+        return model(params, src_images=imgs, encoder_type="image")
+
+    @jax.jit
+    def embed_audio(params, wav, pad):
+        return model(params, src_audios=wav, audio_padding_masks=pad,
+                     encoder_type="audio")
+
+    # warmup/compile
+    t0 = time.time()
+    fetch(embed_images(params, imgs))
+    print(f"# image compile {time.time()-t0:.0f}s", file=sys.stderr)
+    t0 = time.time()
+    fetch(embed_audio(params, wav, pad))
+    print(f"# audio compile {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # timed steady state (fetch each step: the platform has no reliable
+    # async fence, and the (B, 1536) embedding copies are negligible)
+    t0 = time.time()
+    for _ in range(STEPS):
+        fetch(embed_images(params, imgs))
+        fetch(embed_audio(params, wav, pad))
+    dt = time.time() - t0
+    items = STEPS * (IMG_BATCH + AUD_BATCH)
+    per_chip = items / dt
+    vs_baseline = per_chip * N_CHIPS_TARGET / (5 * A100_EST_ITEMS_PER_S)
+
+    print(json.dumps({
+        "metric": "images+audio clips embedded/sec/chip at 4B",
+        "value": round(per_chip, 3),
+        "unit": "items/s/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Evaluation entry point (ref one_peace/evaluate.py:47-194).
+
+Loads a checkpoint, runs the task's evaluation loop, dumps metrics JSON.
+
+Usage:
+  python -m one_peace_tpu.cli.evaluate --config eval.yaml \
+      common_eval.path=/path/to/ckpt.(pt|npz) [task.<k>=v ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import Optional
+
+logger = logging.getLogger("one_peace_tpu.evaluate")
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--path", required=True, help="checkpoint path (.pt/.npz)")
+    parser.add_argument("--output", default=None, help="metrics JSON output path")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from ..core.config import load_config
+    from ..hub import from_pretrained
+    from ..tasks import build_task
+
+    cfg = load_config(args.config, args.overrides)
+    logging.basicConfig(level=logging.INFO)
+
+    task = build_task(cfg.task, cfg)
+    cfg.model.encoder.text_adapter.vocab_size = len(task.dictionary)
+    hub = from_pretrained(
+        args.path, model_type=cfg.model._name,
+        dtype="bf16" if cfg.common.bf16 else "float32",
+        bpe_dir=cfg.task.bpe_dir or None,
+        model_cfg=cfg.model, task_cfg=cfg.task)
+    model, params = hub.model, hub.params
+
+    task.load_dataset("valid")
+    task.begin_valid_epoch(model, params)
+    itr = task.get_batch_iterator("valid", cfg.dataset.batch_size_valid,
+                                  ensure_equal_batch=False)
+    for batch in itr.next_epoch_itr():
+        task.valid_step(model, params, batch)
+    stats = task.merge_results()
+    printable = {k: v for k, v in stats.items() if isinstance(v, (int, float))}
+    print(json.dumps(printable, indent=2))
+    if args.output:
+        with open(args.output, "w") as fh:
+            json.dump(printable, fh)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""Training entry point.
+
+Replaces ref one_peace/train.py:47-199: config layering (defaults <- YAML
+<- CLI dot-overrides), task/model/criterion construction, epoch loop with
+validate-and-save, preemption-safe resume.  No torchrun/process bootstrap:
+one host process drives the whole mesh via pjit.
+
+Usage:
+  python -m one_peace_tpu.cli.train --config path/to/task.yaml \
+      [task.data=... optimization.lr=3e-4 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger("one_peace_tpu.train")
+
+
+def build_model_for_task(cfg, task):
+    from .. import models  # noqa: F401  (populates the registry)
+    from ..core.registry import MODELS
+
+    name = cfg.model._name
+    cfg.model.encoder.image_adapter.rel_bucket_size = cfg.task.patch_image_size // 16
+    cfg.model.encoder.text_adapter.vocab_size = len(task.dictionary)
+    cfg.model.head_type = cfg.task.head_type
+    cls = MODELS.get(name)
+    if name == "one_peace_classify":
+        return cls(cfg.model, num_classes=getattr(cfg.task, "num_classes", 2))
+    return cls(cfg.model)
+
+
+def main(argv: Optional[list] = None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from ..core.config import load_config
+    from ..core.metrics import ProgressLogger, aggregate, log_scalar
+    from ..criterions import build_criterion
+    from ..tasks import build_task
+    from ..trainer import Trainer
+    from ..utils import native_checkpoint as ckpt
+
+    cfg = load_config(args.config, args.overrides)
+    logging.basicConfig(level=logging.INFO)
+
+    task = build_task(cfg.task, cfg)
+    if not cfg.criterion._name:
+        cfg.criterion._name = type(task).criterion_name
+    model = build_model_for_task(cfg, task)
+    criterion = build_criterion(cfg.criterion)
+
+    task.load_dataset("train")
+    if cfg.task.valid_data:
+        task.load_dataset("valid")
+
+    params = None
+    if cfg.checkpoint.restore_file and os.path.exists(cfg.checkpoint.restore_file):
+        path = cfg.checkpoint.restore_file
+        if path.endswith(".pt"):
+            from ..utils.checkpoint_convert import (
+                convert_retrieval_model, load_torch_state_dict, to_jax)
+
+            params = to_jax(convert_retrieval_model(
+                load_torch_state_dict(path), cfg.model))
+        else:
+            params = ckpt.load_params(path)
+
+    trainer = Trainer(cfg, model, criterion, params=params)
+
+    # preemption resume
+    latest = ckpt.latest_checkpoint(cfg.checkpoint.save_dir)
+    if latest and not cfg.checkpoint.reset_optimizer:
+        logger.info("resuming from %s", latest)
+        state = ckpt.restore_train_state(latest, trainer.state_dict())
+        trainer.load_state_dict(state)
+
+    progress = ProgressLogger(cfg.common.log_format, cfg.common.log_interval,
+                              cfg.common.tensorboard_logdir)
+    itr = task.get_batch_iterator(
+        "train", cfg.dataset.batch_size, seed=cfg.common.seed,
+        ensure_equal_batch=cfg.dataset.ensure_equal_batch,
+        skip_remainder_batch=cfg.optimization.skip_remainder_batch)
+
+    max_update = cfg.optimization.max_update or int(1e9)
+    max_epoch = cfg.optimization.max_epoch or int(1e9)
+
+    epoch = 1
+    while trainer.step < max_update and epoch <= max_epoch:
+        with aggregate(new_root=True) as agg:
+            for batch in itr.next_epoch_itr():
+                metrics = trainer.train_step(batch)
+                for k, v in metrics.items():
+                    log_scalar(k, v)
+                progress.log(metrics, trainer.step)
+                if (cfg.checkpoint.save_interval_updates
+                        and trainer.step % cfg.checkpoint.save_interval_updates == 0):
+                    ckpt.save_train_state(
+                        cfg.checkpoint.save_dir, trainer.step,
+                        trainer.state_dict(),
+                        keep=max(cfg.checkpoint.keep_last_epochs, 1))
+                if trainer.step >= max_update:
+                    break
+            progress.print(agg.as_dict(), trainer.step)
+
+        if cfg.task.valid_data and epoch % cfg.dataset.validate_interval == 0:
+            validate(cfg, task, model, trainer, progress)
+        if epoch % cfg.checkpoint.save_interval == 0:
+            ckpt.save_train_state(cfg.checkpoint.save_dir, trainer.step,
+                                  trainer.state_dict(),
+                                  keep=max(cfg.checkpoint.keep_last_epochs, 1))
+        epoch += 1
+    return 0
+
+
+def validate(cfg, task, model, trainer, progress):
+    from ..trainer import cast_floats
+
+    params = trainer.params
+    if trainer.compute_dtype is not None:
+        params = cast_floats(params, trainer.compute_dtype)
+    task.begin_valid_epoch(model, params)
+    itr = task.get_batch_iterator("valid", cfg.dataset.batch_size_valid,
+                                  ensure_equal_batch=False)
+    for batch in itr.next_epoch_itr():
+        task.valid_step(model, params, batch)
+    stats = task.merge_results()
+    stats = {k: v for k, v in stats.items() if isinstance(v, (int, float))}
+    progress.print(stats, trainer.step)
+    return stats
+
+
+if __name__ == "__main__":
+    sys.exit(main())

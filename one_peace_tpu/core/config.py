@@ -32,7 +32,8 @@ class TextAdapterConfig:
     shrink_alpha: float = 1.0
     dropout: float = 0.0
     use_attn_bias: bool = True
-    vocab_size: int = 0  # filled from the dictionary at build time
+    # defaults to the shipped GPT-2 dict: 50260 dict.txt rows + 4 specials
+    vocab_size: int = 50264
     padding_idx: int = 1
     max_positions: int = 512 + 2  # learned abs pos table size (ref text.py:60)
 

@@ -1,0 +1,11 @@
+from . import losses  # noqa: F401
+from .criterions import (  # noqa: F401
+    AudioTextPretrainCriterion,
+    AudioTextRetrievalCriterion,
+    ClassifyCriterion,
+    HingeCriterion,
+    ImageTextPretrainCriterion,
+    ImageTextRetrievalCriterion,
+    RefCOCOCriterion,
+    build_criterion,
+)

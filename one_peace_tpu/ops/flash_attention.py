@@ -47,7 +47,9 @@ def _make_kernel(scaling: float, has_bias: bool, bias_batched: bool):
         if has_bias:
             bias = bias_ref[0, 0] if bias_batched else bias_ref[0]
             s = s + bias.astype(jnp.float32)
-        s = s + kbias_ref[:].astype(jnp.float32)  # (1, L) broadcasts over rows
+        # kbias ref holds the full (B, L) array; take this program's row
+        row = kbias_ref[pl.ds(pl.program_id(0), 1), :]
+        s = s + row.astype(jnp.float32)  # (1, L) broadcasts over rows
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
@@ -98,8 +100,10 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, blk_q=DEFAULT_BLK_Q):
         bias_arg = rel_bias
         in_specs.append(pl.BlockSpec((1, blk_q, lpad), lambda bi, hi, qi: (hi, qi, 0),
                                      memory_space=pltpu.VMEM))
+    # full-array block: a (1, L) row block would violate the TPU (8, 128)
+    # tile rule when B is not the row count
     in_specs.append(
-        pl.BlockSpec((1, lpad), lambda bi, hi, qi: (bi, 0), memory_space=pltpu.VMEM))
+        pl.BlockSpec((b, lpad), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         _make_kernel(scaling, has_bias, bias_batched),

@@ -1,0 +1,42 @@
+"""Device mesh construction.
+
+One logical mesh with three axes replaces the reference's entire
+distributed bootstrap (torchrun + NCCL process groups + DDP wrapper zoo,
+SURVEY.md §1 L1 / §2.3):
+
+- ``dp``   pure data parallel (params replicated)
+- ``fsdp`` data parallel with parameter/optimizer sharding (ZeRO)
+- ``tp``   tensor parallel (d_model / ffn dims sharded)
+
+Gradient all-reduce, ZeRO gather/scatter and TP collectives are all
+inserted by XLA from sharding annotations — no explicit NCCL-style code.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+AXES = ("dp", "fsdp", "tp")
+
+
+def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh; dp=-1 absorbs remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp == -1:
+        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, AXES)
+
+
+def local_batch_axes() -> tuple:
+    """Axes the global batch is sharded over (data axes)."""
+    return ("dp", "fsdp")

@@ -1,0 +1,2 @@
+from .base_task import BaseTask  # noqa: F401
+from .tasks import build_task  # noqa: F401

@@ -1,0 +1,340 @@
+"""Registered tasks (SURVEY.md §2.1 "Tasks").
+
+Each task wires a dataset class + criterion + eval metric and implements
+the reference's evaluation loops:
+
+- retrieval tasks: embed all validation texts in ``begin_valid_epoch``
+  (chunks of 50, optional "This is a sound of ..." template for zero-shot
+  ESC-50 — ref tasks/audio_tasks/audio_text_retrieval.py:86), then embed
+  the image/audio side per batch into a Recall reducer;
+- classification tasks: accuracy / mAP reducers;
+- refcoco: predicted boxes rescaled by the resize ratios to original
+  coordinates before IoU@0.5 (ref tasks/vl_tasks/refcoco.py:24-48).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..core.registry import TASKS
+from ..data import datasets as D
+from ..metrics import MAP, Accuracy, IouAcc, Recall
+from .base_task import BaseTask
+
+
+def _chunk(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+class RetrievalTaskMixin:
+    """Shared valid-epoch recall flow (ref image_text_retrieval.py:32-110)."""
+
+    side = "image"  # or "audio"
+
+    def _load_valid_texts(self):
+        self.text_ids, self.texts = [], []
+        with open(self.cfg.valid_file) as fh:
+            for text_id, text_list in json.load(fh).items():
+                for text in text_list:
+                    self.text_ids.append(int(text_id))
+                    self.texts.append(text)
+
+    def begin_valid_epoch(self, model, params):
+        if not getattr(self, "texts", None):
+            self._load_valid_texts()
+        import jax.numpy as jnp
+
+        logits_list = []
+        for batch_texts in _chunk(self.texts, 50):
+            if self.cfg.use_template:
+                batch_texts = ["This is a sound of " + t for t in batch_texts]
+            tokens = self.tokenizer.encode_batch(list(batch_texts))
+            out = model(params, src_tokens=jnp.asarray(tokens), encoder_type="text")
+            if isinstance(out, tuple):
+                out = out[0]
+            logits_list.append(np.asarray(out, np.float32))
+        self.metric.initialize(np.asarray(self.text_ids),
+                               np.concatenate(logits_list))
+
+    def valid_step(self, model, params, batch):
+        import jax.numpy as jnp
+
+        if self.side == "image":
+            out = model(params, src_images=jnp.asarray(batch["src_images"]),
+                        encoder_type="image")
+        else:
+            out = model(params, src_audios=jnp.asarray(batch["src_audios"]),
+                        audio_padding_masks=jnp.asarray(batch["audio_padding_masks"]),
+                        encoder_type="audio")
+        if isinstance(out, tuple):
+            out = out[0]
+        self.metric.compute(np.asarray(batch["id"]), np.asarray(out, np.float32))
+
+    def merge_results(self, output_predict: bool = False) -> Dict:
+        stats = self.metric.merge_results(output_predict=output_predict)
+        if self.side == "audio":
+            for key in list(stats):
+                if key.startswith("img"):
+                    stats[key.replace("img", "audio")] = stats.pop(key)
+        return stats
+
+
+@TASKS.register("image_text_retrieval")
+class ImageTextRetrievalTask(RetrievalTaskMixin, BaseTask):
+    dataset_cls = D.ImageTextRetrievalDataset
+    criterion_name = "image_text_retrieval_criterion"
+    side = "image"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = Recall()
+
+
+@TASKS.register("audio_text_retrieval")
+class AudioTextRetrievalTask(RetrievalTaskMixin, BaseTask):
+    dataset_cls = D.AudioTextRetrievalDataset
+    criterion_name = "audio_text_retrieval_criterion"
+    side = "audio"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = Recall()
+
+    def dataset_kwargs(self):
+        return {"max_src_length": self.cfg.max_src_length,
+                "max_duration": self.cfg.max_duration}
+
+
+@TASKS.register("image_text_pretrain")
+class ImageTextPretrainTask(RetrievalTaskMixin, BaseTask):
+    """Pretraining; validation = retrieval recall
+    (ref tasks/pretrain_tasks/image_text_pretrain.py:52-136)."""
+
+    dataset_cls = D.ImageTextPretrainDataset
+    criterion_name = "image_text_pretrain_loss"
+    side = "image"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = Recall()
+
+    def dataset_kwargs(self):
+        c = self.cfg
+        return {
+            "max_src_length": c.max_src_length,
+            "patch_image_size": c.patch_image_size,
+            "text_mask_ratio": c.text_mask_ratio,
+            "image_mask_ratio": c.image_mask_ratio,
+            "vl_text_mask_ratio": c.vl_text_mask_ratio,
+            "vl_image_mask_ratio": c.vl_image_mask_ratio,
+            "min_scale": c.min_scale,
+        }
+
+    def load_dataset(self, split: str):
+        if split != "train":
+            # validation uses the plain retrieval dataset (no masking)
+            saved = self.dataset_cls
+            self.dataset_cls = D.ImageTextRetrievalDataset
+            kw = self.dataset_kwargs
+            self.dataset_kwargs = lambda: {
+                "max_src_length": self.cfg.max_src_length,
+                "patch_image_size": self.cfg.patch_image_size,
+            }
+            try:
+                return super().load_dataset(split)
+            finally:
+                self.dataset_cls = saved
+                self.dataset_kwargs = kw
+        return super().load_dataset(split)
+
+
+@TASKS.register("audio_text_pretrain")
+class AudioTextPretrainTask(RetrievalTaskMixin, BaseTask):
+    dataset_cls = D.AudioTextPretrainDataset
+    criterion_name = "audio_text_pretrain_loss"
+    side = "audio"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = Recall()
+
+    def dataset_kwargs(self):
+        c = self.cfg
+        return {
+            "max_src_length": c.max_src_length,
+            "max_duration": c.max_duration,
+            "audio_mask_ratio": c.audio_mask_ratio,
+            "al_text_mask_ratio": c.al_text_mask_ratio,
+            "al_audio_mask_ratio": c.al_audio_mask_ratio,
+        }
+
+    def load_dataset(self, split: str):
+        if split != "train":
+            saved = self.dataset_cls
+            self.dataset_cls = D.AudioTextRetrievalDataset
+            kw = self.dataset_kwargs
+            self.dataset_kwargs = lambda: {
+                "max_src_length": self.cfg.max_src_length,
+                "max_duration": self.cfg.max_duration,
+            }
+            try:
+                return super().load_dataset(split)
+            finally:
+                self.dataset_cls = saved
+                self.dataset_kwargs = kw
+        return super().load_dataset(split)
+
+
+class ClassifyTaskBase(BaseTask):
+    """Accuracy-scored classification family."""
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = Accuracy()
+
+    def begin_valid_epoch(self, model, params):
+        self.metric.initialize()
+
+    def _net_input(self, batch):
+        import jax.numpy as jnp
+
+        keys = ("src_tokens", "src_images", "src_images_2", "src_audios",
+                "audio_padding_masks")
+        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+
+    def valid_step(self, model, params, batch):
+        logits = model(params, **self._net_input(batch))
+        self.metric.compute(np.asarray(logits), np.asarray(batch["target"]))
+
+    def merge_results(self) -> Dict:
+        return self.metric.merge_results()
+
+
+@TASKS.register("vqa")
+class VqaTask(ClassifyTaskBase):
+    """VQA scored with soft-target accuracy (ref tasks/vl_tasks/vqa.py)."""
+
+    dataset_cls = D.VqaDataset
+    criterion_name = "classify_criterion"
+
+    def valid_step(self, model, params, batch):
+        logits = model(params, **self._net_input(batch))
+        preds = np.asarray(logits).argmax(-1)
+        targets = np.asarray(batch["target"])  # (B, answer_cnt) soft
+        score = targets[np.arange(len(preds)), preds].sum()
+        self.metric.compute(ncorrect=score, count=len(preds))
+
+
+@TASKS.register("nlvr2")
+class Nlvr2Task(ClassifyTaskBase):
+    dataset_cls = D.Nlvr2Dataset
+    criterion_name = "classify_criterion"
+
+
+@TASKS.register("image_classify")
+class ImageClassifyTask(ClassifyTaskBase):
+    dataset_cls = D.ImageClassifyDataset
+    criterion_name = "classify_criterion"
+
+    def dataset_kwargs(self):
+        return {"patch_image_size": self.cfg.patch_image_size}
+
+
+@TASKS.register("vggsound")
+class VggsoundTask(ClassifyTaskBase):
+    dataset_cls = D.VggsoundDataset
+    criterion_name = "classify_criterion"
+
+    def dataset_kwargs(self):
+        return {"max_duration": self.cfg.max_duration}
+
+
+@TASKS.register("fsd50k")
+class Fsd50kTask(BaseTask):
+    """Multi-label audio tagging scored with mAP (ref tasks/audio_tasks)."""
+
+    dataset_cls = D.Fsd50kDataset
+    criterion_name = "classify_criterion"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = MAP()
+
+    def dataset_kwargs(self):
+        return {"max_duration": self.cfg.max_duration}
+
+    def begin_valid_epoch(self, model, params):
+        self.metric.initialize()
+
+    def valid_step(self, model, params, batch):
+        import jax.numpy as jnp
+
+        logits = model(params, src_audios=jnp.asarray(batch["src_audios"]),
+                       audio_padding_masks=jnp.asarray(batch["audio_padding_masks"]))
+        self.metric.compute(batch["id"], np.asarray(logits),
+                            np.asarray(batch["target"]))
+
+    def merge_results(self) -> Dict:
+        return self.metric.merge_results()
+
+
+@TASKS.register("aqa")
+class AqaTask(ClassifyTaskBase):
+    dataset_cls = D.AqaDataset
+    criterion_name = "hinge_criterion"
+
+    def dataset_kwargs(self):
+        return {"max_src_length": self.cfg.max_src_length,
+                "max_duration": self.cfg.max_duration}
+
+    def valid_step(self, model, params, batch):
+        import jax.numpy as jnp
+
+        num_choices = 4
+        audios = jnp.repeat(jnp.asarray(batch["src_audios"]), num_choices, axis=0)
+        pads = jnp.repeat(jnp.asarray(batch["audio_padding_masks"]), num_choices, axis=0)
+        logits = model(params, src_tokens=jnp.asarray(batch["src_tokens"]),
+                       src_audios=audios, audio_padding_masks=pads)
+        logits = np.asarray(logits).reshape(-1, num_choices)
+        self.metric.compute(logits, np.asarray(batch["target"]))
+
+
+@TASKS.register("refcoco")
+class RefCOCOTask(BaseTask):
+    """Visual grounding, IoU Acc@0.5 with coordinate rescale
+    (ref tasks/vl_tasks/refcoco.py:24-48)."""
+
+    dataset_cls = D.RefCOCODataset
+    criterion_name = "refcoco_criterion"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = IouAcc()
+
+    def begin_valid_epoch(self, model, params):
+        self.metric.initialize()
+
+    def valid_step(self, model, params, batch):
+        import jax
+        import jax.numpy as jnp
+
+        coords = model(params, src_tokens=jnp.asarray(batch["src_tokens"]),
+                       src_images=jnp.asarray(batch["src_images"]))
+        coords = np.asarray(jax.nn.sigmoid(coords.astype(jnp.float32)))
+        # predicted boxes are normalized to the resized square; rescale to
+        # original pixel coordinates
+        w = np.asarray(batch["image_widths"])[:, None]
+        h = np.asarray(batch["image_heights"])[:, None]
+        scale = np.concatenate([w, h, w, h], axis=1)
+        self.metric.compute(coords * scale, np.asarray(batch["region_coords"]))
+
+    def merge_results(self) -> Dict:
+        return self.metric.merge_results()
+
+
+def build_task(cfg, framework_cfg=None):
+    return TASKS.get(cfg._name)(cfg, framework_cfg)

@@ -1,0 +1,46 @@
+"""Exponential moving average of parameters.
+
+Behavioral spec: ref one_peace/utils/ema_module.py:17-70 + trainer.py
+EMA hooks (:243-251, 895-907): fp32 shadow copy, decay applied every
+``ema_update_freq`` updates, optional start delay (copy-through before
+``ema_start_update``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EMAConfig
+
+
+class EMA:
+    def __init__(self, cfg: EMAConfig, params):
+        self.cfg = cfg
+        self.shadow = jax.tree.map(
+            lambda p: p.astype(jnp.float32) if cfg.ema_fp32 else p, params)
+        self._update = jax.jit(self._make_update())
+
+    def _make_update(self):
+        decay = self.cfg.ema_decay
+
+        def update(shadow, params):
+            return jax.tree.map(
+                lambda s, p: s * decay + p.astype(s.dtype) * (1 - decay),
+                shadow, params)
+
+        return update
+
+    def step(self, params, num_updates: int):
+        cfg = self.cfg
+        if num_updates < cfg.ema_start_update:
+            # copy-through warmup (ref trainer: ema starts tracking late)
+            self.shadow = jax.tree.map(
+                lambda p: p.astype(jnp.float32) if cfg.ema_fp32 else p, params)
+        elif num_updates % cfg.ema_update_freq == 0:
+            self.shadow = self._update(self.shadow, params)
+
+    def params(self, dtype=None):
+        if dtype is None:
+            return self.shadow
+        return jax.tree.map(lambda s: s.astype(dtype), self.shadow)

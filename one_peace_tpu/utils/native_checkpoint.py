@@ -1,0 +1,135 @@
+"""Native checkpointing (orbax + flat .npz).
+
+Replaces fairseq's checkpoint_utils (ref: fairseq/checkpoint_utils.py:
+37-916): save/load of the full train state (params, optimizer state, step,
+rng, data-iterator state, config snapshot), best-k/interval policies in the
+train driver, and a flat ``.npz`` export for interchange.
+
+Orbax handles sharded arrays natively — on a multi-host mesh each host
+writes its shards (the analogue of FSDP's sharded state dicts,
+ref trainer.py:352-363).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix=()) -> Dict[str, Any]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, prefix + (str(i),)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _unflatten(flat: Dict[str, Any]):
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, params, metadata: Optional[Dict] = None) -> None:
+    """Flat .npz export of a parameter tree."""
+    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    if metadata is not None:
+        flat["__metadata__"] = np.frombuffer(
+            json.dumps(metadata).encode(), dtype=np.uint8)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params(path: str, dtype=None):
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files if k != "__metadata__"}
+    tree = _unflatten(flat)
+
+    def cast(x):
+        arr = jnp.asarray(x)
+        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = arr.astype(dtype)
+        return arr
+
+    return jax.tree.map(cast, tree)
+
+
+def load_metadata(path: str) -> Optional[Dict]:
+    with np.load(path) as data:
+        if "__metadata__" in data.files:
+            return json.loads(bytes(data["__metadata__"]).decode())
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Full train-state checkpoints via orbax
+# ---------------------------------------------------------------------------
+
+
+def save_train_state(ckpt_dir: str, step: int, state: Dict[str, Any],
+                     keep: int = 3) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    _prune_old(ckpt_dir, keep)
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_") and name[5:].isdigit():
+            steps.append(int(name[5:]))
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step_{max(steps)}")
+
+
+def restore_train_state(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)
+
+
+def _prune_old(ckpt_dir: str, keep: int) -> None:
+    if keep <= 0:
+        return
+    import shutil
+
+    steps = sorted(
+        int(n[5:]) for n in os.listdir(ckpt_dir)
+        if n.startswith("step_") and n[5:].isdigit()
+    )
+    for s in steps[:-keep]:
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)

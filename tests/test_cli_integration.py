@@ -1,0 +1,74 @@
+"""End-to-end CLI integration on a synthetic corpus — the analogue of the
+reference's tests/test_binaries.py (train a tiny model for a few steps via
+the real entry point, then evaluate)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rs = np.random.RandomState(0)
+    rows = ["id\timage\tcaption"]
+    captions = ["a red square", "a green circle", "a blue dog",
+                "the yellow cat", "an orange truck", "a purple house",
+                "gray mountains", "white clouds"]
+    for i, cap in enumerate(captions):
+        arr = rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        p = img_dir / f"img{i}.png"
+        Image.fromarray(arr).save(p)
+        rows.append(f"{i}\t{p}\t{cap}")
+    tsv = root / "train.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    valid_json = root / "valid_texts.json"
+    valid_json.write_text(json.dumps({str(i): [c] for i, c in enumerate(captions)}))
+    return root, tsv, valid_json
+
+
+def _overrides(root, tsv, valid_json, tiny=True):
+    ov = [
+        "task._name=image_text_retrieval",
+        f"task.data={tsv}",
+        f"task.valid_data={tsv}",
+        "task.selected_cols=id,image,caption",
+        "task.patch_image_size=32",
+        "task.head_type=vl",
+        f"task.valid_file={valid_json}",
+        "model._name=one_peace_retrieval",
+        "model.encoder.embed_dim=32",
+        "model.encoder.ffn_embed_dim=64",
+        "model.encoder.layers=2",
+        "model.encoder.attention_heads=4",
+        "model.encoder.image_adapter.bucket_size=2",
+        "model.encoder.image_adapter.rel_bucket_size=2",
+        "model.encoder.text_adapter.bucket_size=8",
+        "optimization.max_update=3",
+        "optimization.lr=1e-3",
+        "dataset.batch_size=8",
+        "dataset.batch_size_valid=8",
+        "common.bf16=false",
+        "distributed.fsdp=1",
+        "distributed.tp=1",
+        f"checkpoint.save_dir={root}/ckpts",
+    ]
+    return ov
+
+
+def test_train_cli_runs(corpus):
+    from one_peace_tpu.cli.train import main
+
+    root, tsv, valid_json = corpus
+    rc = main(["--config", None] if False else _overrides(root, tsv, valid_json))
+    assert rc == 0
+    # a checkpoint was written
+    assert os.path.isdir(os.path.join(root, "ckpts"))
+    names = os.listdir(os.path.join(root, "ckpts"))
+    assert any(n.startswith("step_") for n in names)

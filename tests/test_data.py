@@ -1,0 +1,169 @@
+"""Data-layer tests: tokenizer, masking, collate, iterators, losses."""
+
+import numpy as np
+import pytest
+
+
+def test_collate_padding():
+    from one_peace_tpu.data.collate import collate
+
+    samples = [
+        {"id": 0, "source_text": np.array([5, 6, 2]),
+         "text_preserve_ids": np.array([0, 2])},
+        {"id": 1, "source_text": np.array([7, 2]),
+         "text_preserve_ids": np.array([0, 1, 2])},
+    ]
+    batch = collate(samples, pad_idx=1)
+    np.testing.assert_array_equal(batch["src_tokens"],
+                                  [[5, 6, 2], [7, 2, 1]])
+    np.testing.assert_array_equal(batch["text_preserve_ids"],
+                                  [[0, 2, -1], [0, 1, 2]])
+
+
+def test_block_mask_1d_exact_count():
+    from one_peace_tpu.data.masking import compute_block_mask_1d
+
+    rng = np.random.RandomState(0)
+    for prob in (0.45, 0.55):
+        mask = compute_block_mask_1d(rng, 200, prob, mask_length=5,
+                                     mask_prob_adjust=0.1)
+        assert mask.sum() <= int(200 * prob)
+        assert mask.sum() >= int(200 * prob) * 0.5  # blocks overlap some
+
+
+def test_whole_word_mask_extends_continuations():
+    from one_peace_tpu.data.masking import add_whole_word_mask
+
+    # word-start table: tokens 10, 12 start words; 11, 13 continue
+    table = np.zeros(20, bool)
+    table[[10, 12]] = True
+    source = np.array([10, 11, 12, 13])
+    rng = np.random.RandomState(0)
+    mask = add_whole_word_mask(rng, source, table, p=0.5)
+    # one word start masked -> its continuation masked too
+    assert mask.sum() == 2
+    if mask[0]:
+        assert mask[1]
+    if mask[2]:
+        assert mask[3]
+
+
+def test_vl_masks_nested():
+    from one_peace_tpu.data.masking import (
+        nested_subset_mask, random_patch_mask, superset_patch_mask)
+
+    rng = np.random.RandomState(0)
+    base = random_patch_mask(rng, 16, 0.75)
+    assert base.sum() == 12
+    sub = nested_subset_mask(rng, base, 0.4)
+    assert np.all(base[sub])  # strictly inside base
+    sup = superset_patch_mask(rng, base, 0.6875)
+    assert np.all(sup[~base])  # contains every unmasked patch
+    assert sup.sum() == 11  # int(16 * 0.6875)
+
+
+def test_iterator_deterministic_and_resumable():
+    from one_peace_tpu.data.iterators import EpochBatchIterator
+
+    data = list(range(23))
+    it1 = EpochBatchIterator(data, lambda s: s, batch_size=4, seed=7, prefetch=0)
+    it2 = EpochBatchIterator(data, lambda s: s, batch_size=4, seed=7, prefetch=0)
+    b1 = list(it1.next_epoch_itr())
+    b2 = list(it2.next_epoch_itr())
+    assert b1 == b2
+    # equal batches: padded to a multiple of batch size
+    assert all(len(b) == 4 for b in b1)
+    # epoch 2 differs (reshuffle)
+    b3 = list(it1.next_epoch_itr())
+    assert b3 != b1
+
+
+def test_strided_shards_partition():
+    from one_peace_tpu.data.iterators import strided_slice
+
+    order = list(range(10))
+    parts = [strided_slice(order, i, 3) for i in range(3)]
+    assert sorted(sum(parts, [])) == order
+    assert [len(p) for p in parts] == [4, 3, 3]
+
+
+def test_tsv_reader(tmp_path):
+    from one_peace_tpu.data.tsv import TSVReader, expand_paths, load_tables
+
+    p = tmp_path / "data0.tsv"
+    p.write_text("id\timage\tcaption\n1\timg1\tcap one\n2\timg2\tcap\ttwo\n")
+    r = TSVReader(str(p), selected_cols="id,caption")
+    assert len(r) == 2
+    assert r[0] == ["1", "cap one"]
+    assert r[1] == ["2", "cap\ttwo"]  # trailing column keeps tabs
+
+    p1 = tmp_path / "shard0.tsv"
+    p1.write_text("a\n1\n")
+    p2 = tmp_path / "shard1.tsv"
+    p2.write_text("a\n2\n")
+    paths = expand_paths(str(tmp_path / "shard[0-9].tsv"))
+    assert len(paths) == 2
+    table = load_tables(str(tmp_path / "shard[0-9].tsv"))
+    assert len(table) == 2
+
+
+def test_recall_metric():
+    from one_peace_tpu.metrics import Recall
+
+    m = Recall()
+    # 3 texts for 2 images (ids repeat like COCO's 5 captions/image)
+    text_ids = np.array([0, 0, 1])
+    text_logits = np.array([[1, 0], [0.9, 0.1], [0, 1]], np.float32)
+    m.initialize(text_ids, text_logits)
+    m.compute(np.array([0, 1]), np.array([[1, 0], [0, 1]], np.float32))
+    log = m.merge_results()
+    assert log["txt_r1"] == 100.0
+    assert log["img_r1"] == 100.0
+
+
+def test_iou_acc():
+    from one_peace_tpu.metrics import IouAcc
+
+    m = IouAcc()
+    m.initialize()
+    pred = np.array([[0, 0, 10, 10], [0, 0, 1, 1]], np.float32)
+    target = np.array([[0, 0, 10, 10], [5, 5, 6, 6]], np.float32)
+    m.compute(pred, target)
+    assert m.merge_results()["acc@0.5"] == 50.0
+
+
+def test_dcl_loss_vs_reference_formula():
+    """Cross-check the fixed-shape DCL against a direct (filtered) torch
+    computation of the reference algorithm."""
+    import torch
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from one_peace_tpu.criterions.losses import dcl_loss
+
+    rs = np.random.RandomState(0)
+    b, l, d = 2, 6, 8
+    student = rs.randn(b, l, d).astype(np.float32)
+    teacher = rs.randn(b, l, d).astype(np.float32)
+    mask = np.zeros((b, l), bool)
+    mask[:, 2:4] = True
+    padding = np.zeros((b, l - 1), bool)
+    padding[1, -2:] = True
+
+    got = float(dcl_loss(jnp.asarray(student), jnp.asarray(teacher),
+                         jnp.asarray(mask), jnp.asarray(padding),
+                         logit_scale=2.5, label_smoothing=0.0))
+
+    # reference algorithm (image_text_pretrain_loss.py:187-215)
+    st = torch.tensor(student)[:, 1:].reshape(-1, d)
+    te = torch.tensor(teacher)[:, 1:].reshape(-1, d)
+    mi = torch.tensor(mask)[:, 1:].reshape(-1)
+    nonpad = ~torch.tensor(padding).reshape(-1)
+    st, te, mi = st[nonpad], te[nonpad], mi[nonpad]
+    idx = mi.nonzero().flatten()
+    tgt = torch.arange(st.size(0))[idx]
+    s = F.normalize(st[idx], dim=1)
+    t = F.normalize(te, dim=1)
+    sim = 2.5 * s @ t.t()
+    want = float(F.cross_entropy(sim, tgt))
+    assert got == pytest.approx(want, rel=1e-5)

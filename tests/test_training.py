@@ -1,0 +1,154 @@
+"""End-to-end training smoke tests on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from helpers import tiny_model_config
+
+
+def _tiny_framework_cfg():
+    from one_peace_tpu.core.config import FrameworkConfig
+
+    cfg = FrameworkConfig()
+    cfg.model = tiny_model_config(head_type="vl")
+    cfg.criterion._name = "image_text_retrieval_criterion"
+    cfg.optimization.lr = 5e-3
+    cfg.optimization.clip_norm = 3.0
+    cfg.optimization.max_update = 50
+    cfg.common.bf16 = False
+    cfg.distributed.dp = -1
+    cfg.distributed.fsdp = 2
+    cfg.distributed.tp = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained():
+    """Run a few ITC steps on the 8-device mesh; reused by assertions."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+
+    cfg = _tiny_framework_cfg()
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (16, 8)),
+        "src_images": rs.randn(16, 3, 32, 32).astype(np.float32),
+    }
+    history = [trainer.train_step(batch) for _ in range(5)]
+    return cfg, trainer, history
+
+
+def test_loss_decreases(trained):
+    _, _, history = trained
+    losses = [h["loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_lr_schedule_progresses(trained):
+    cfg, trainer, history = trained
+    assert history[1]["lr"] > 0
+    assert trainer.step == 5
+
+
+def test_params_sharded(trained):
+    """FFN weights must actually be sharded over the mesh (ZeRO+TP)."""
+    cfg, trainer, _ = trained
+    leaf = trainer.params["encoder_wrapper"]["fusion"]["layers"]["text_ffn"]["wi_0"]["w"]
+    sharding = leaf.sharding
+    spec = sharding.spec
+    assert tuple(spec) == (None, "fsdp", "tp"), spec
+
+
+def test_optimizer_state_sharded_like_params(trained):
+    cfg, trainer, _ = trained
+    import jax
+
+    # find a mu leaf for the same param and compare sharding specs
+    def find(tree, path):
+        for p in path:
+            tree = tree[p]
+        return tree
+
+    param = trainer.params["encoder_wrapper"]["fusion"]["layers"]["text_ffn"]["wi_0"]["w"]
+    found = []
+
+    def visit(x):
+        if hasattr(x, "shape") and x.shape == param.shape and x is not param:
+            found.append(x)
+
+    jax.tree.map(visit, trainer.opt_state)
+    assert found, "no param-shaped optimizer state leaves"
+    assert any(tuple(f.sharding.spec) == tuple(param.sharding.spec) for f in found)
+
+
+def test_nonfinite_grads_skip_update():
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+    import jax
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+    before = jax.tree.map(np.asarray, trainer.params["text_proj"])
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": np.full((8, 3, 32, 32), np.nan, np.float32),  # poison
+    }
+    metrics = trainer.train_step(batch)
+    assert metrics["skipped"] == 1.0
+    after = jax.tree.map(np.asarray, trainer.params["text_proj"])
+    np.testing.assert_array_equal(before["w"], after["w"])
+
+
+def test_layer_decay_scales():
+    from one_peace_tpu.optim.adamw import layer_decay_scales
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    import jax
+
+    cfg = tiny_model_config(head_type="vl")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    scales = layer_decay_scales(params, num_layers=cfg.encoder.layers, decay=0.9)
+    # adapters at layer 0 -> smallest scale; heads at L+1 -> 1.0
+    n_layers = cfg.encoder.layers
+    adapter_scale = float(np.asarray(
+        scales["encoder_wrapper"]["text_adapter"]["cls_embedding"]))
+    head_scale = float(np.asarray(scales["text_proj"]["w"]))
+    assert head_scale == pytest.approx(1.0)
+    assert adapter_scale == pytest.approx(0.9 ** (n_layers + 1))
+    # stacked layer leaves: vector increasing toward 1
+    vec = np.asarray(
+        scales["encoder_wrapper"]["fusion"]["layers"]["text_ffn"]["wi_0"]["w"]).ravel()
+    assert vec[0] < vec[-1]
+
+
+def test_decay_mask():
+    from one_peace_tpu.optim.adamw import decay_mask
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    import jax
+
+    cfg = tiny_model_config(head_type="vl")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    mask = decay_mask(params)
+    # 2-D weights decay; biases / LN / gammas / cls do not
+    assert mask["text_proj"]["w"] is True
+    assert mask["text_proj"]["b"] is False
+    assert mask["encoder_wrapper"]["text_adapter"]["cls_embedding"] is False
+    layers = mask["encoder_wrapper"]["fusion"]["layers"]
+    assert layers["self_attn"]["q_proj"]["w"] is True
+    assert layers["self_attn_layer_norm"]["scale"] is False
+    if "gamma_1" in layers:
+        assert layers["gamma_1"] is False
