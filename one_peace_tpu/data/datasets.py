@@ -228,11 +228,24 @@ class Nlvr2Dataset(BaseDataset):
         self.max_src_length = max_src_length
         self.patch_image_size = patch_image_size
         self.rng = np.random.RandomState(seed)
+        if split == "train":
+            # ref nlvr2_dataset.py:33-42: distortion + blur + flip + randaug
+            from .randaugment import GaussianBlur, RandomAugment, RandomDistortion
+
+            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5, seed=seed)
+            self.blur = GaussianBlur(0.5, seed=seed)
+            self.randaug = RandomAugment(
+                2, 7, augs=["Identity", "Equalize", "Brightness", "Sharpness",
+                            "ShearX", "ShearY", "TranslateX", "TranslateY",
+                            "Rotate"], seed=seed)
 
     def _transform(self, img):
         img = resize_image(img, self.patch_image_size)
         if self.split == "train":
+            img = self.distort(img)
+            img = self.blur(img)
             img = horizontal_flip(self.rng, img)
+            img = self.randaug(img)
         return normalize_image(np.asarray(img))
 
     def __getitem__(self, index):
@@ -357,20 +370,32 @@ class AqaDataset(BaseDataset):
 
 class ImageClassifyDataset(BaseDataset):
     """ImageNet finetuning (ref vision_data/image_classify_dataset.py).
-    Training augmentation here is resize + flip (the reference's
-    RandAugment/mixup pipeline is TODO — eval path is exact)."""
+    Training uses the reference's raw_transform pipeline: resize +
+    distortion + blur + flip + RandAugment (mixup/cutmix: TODO)."""
 
     def __init__(self, split, table, tokenizer, dataset_dir="",
                  patch_image_size=384, seed=3407, **_unused):
         super().__init__(split, table, tokenizer, dataset_dir)
         self.patch_image_size = patch_image_size
         self.rng = np.random.RandomState(seed)
+        if split == "train":
+            from .randaugment import GaussianBlur, RandomAugment, RandomDistortion
+
+            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5, seed=seed)
+            self.blur = GaussianBlur(0.5, seed=seed)
+            self.randaug = RandomAugment(
+                2, 7, augs=["Identity", "Equalize", "Brightness", "Sharpness",
+                            "ShearX", "ShearY", "TranslateX", "TranslateY",
+                            "Rotate"], seed=seed)
 
     def __getitem__(self, index):
         image, label = self.table[index][:2]
         img = resize_image(self.read_image(image), self.patch_image_size)
         if self.split == "train":
+            img = self.distort(img)
+            img = self.blur(img)
             img = horizontal_flip(self.rng, img)
+            img = self.randaug(img)
         return {
             "id": index,
             "source_image": normalize_image(np.asarray(img)),

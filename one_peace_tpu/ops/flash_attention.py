@@ -65,8 +65,13 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, blk_q=DEFAULT_BLK_Q):
     """q/k/v: (B, H, L, D); rel_bias: (H, L, L) | (B, H, L, L) | None;
     key_bias: (B, L) fp32 additive (0 or -inf).  Returns (B, H, L, D)."""
     b, h, l, d = q.shape
-    blk_q = min(blk_q, -(-l // 8) * 8)
-    lpad = -(-l // blk_q) * blk_q
+    # pad L to the 128-lane grain, then take the whole padded sequence as a
+    # single q tile when it fits (<= 512): ONE-PEACE lengths (73/257/497...)
+    # land just above a power of two, and two half-empty tiles waste ~2x
+    lpad = -(-l // 128) * 128
+    blk_q = lpad if lpad <= 512 else max(
+        (blk for blk in (512, 256, 128) if lpad % blk == 0), default=128)
+    lpad = -(-lpad // blk_q) * blk_q
     if lpad != l:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lpad - l), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, lpad - l), (0, 0)))

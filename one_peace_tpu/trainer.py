@@ -89,6 +89,12 @@ class Trainer:
         self._train_step = self._build_train_step()
         self._metrics_hist: list = []
 
+        self.ema = None
+        if cfg.ema.store_ema:
+            from .utils.ema import EMA
+
+            self.ema = EMA(cfg.ema, self.params)
+
     # ------------------------------------------------------------------
 
     def _build_train_step(self):
@@ -133,17 +139,20 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
-        batch = jax.tree.map(jnp.asarray, batch)
-        batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
-        self._rng, rng = jax.random.split(self._rng)
-        t0 = time.time()
-        self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, jnp.asarray(self.step), batch, rng)
-        metrics = {k: float(v) for k, v in metrics.items()}
-        metrics["step_time"] = time.time() - t0
-        self.step += 1
-        self._metrics_hist.append(metrics)
-        return metrics
+        with jax.profiler.TraceAnnotation("train_step"):
+            batch = jax.tree.map(jnp.asarray, batch)
+            batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
+            self._rng, rng = jax.random.split(self._rng)
+            t0 = time.time()
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, jnp.asarray(self.step), batch, rng)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            metrics["step_time"] = time.time() - t0
+            self.step += 1
+            if self.ema is not None:
+                self.ema.step(self.params, self.step)
+            self._metrics_hist.append(metrics)
+            return metrics
 
     def valid_step(self, batch, criterion=None):
         criterion = criterion or self.criterion

@@ -72,6 +72,73 @@ def upgrade_state_dict(sd: Dict[str, np.ndarray], num_layers_rel: int) -> Dict[s
     return out
 
 
+def geometric_sequence_interpolation(src_size: int, dst_size: int,
+                                     table: np.ndarray) -> np.ndarray:
+    """Interpolate a (src_size**2, H) relative-position table to
+    (dst_size**2, H) on a geometric-progression coordinate grid
+    (ref adapter/image.py:115-162): bucket spacing grows geometrically
+    away from zero so the outer buckets stretch; values are resampled with
+    a bicubic spline (scipy interp2d 'cubic' equivalent)."""
+    from scipy.interpolate import RectBivariateSpline
+
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r**n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        gp = geometric_progression(1, q, src_size // 2)
+        if gp > dst_size // 2:
+            right = q
+        else:
+            left = q
+    dis, cur = [], 1.0
+    for i in range(src_size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = np.asarray(r_ids + [0] + dis)
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+    heads = table.shape[-1]
+    out = np.empty((dst_size * dst_size, heads), np.float32)
+    for h in range(heads):
+        z = table[:, h].reshape(src_size, src_size).astype(np.float64)
+        spline = RectBivariateSpline(x, x, z, kx=3, ky=3)
+        out[:, h] = spline(dx, dx).reshape(-1)
+    return out
+
+
+def upgrade_image_adapter_resolution(sd: Dict[str, np.ndarray], prefix: str,
+                                     bucket_size: int, rel_bucket_size: int) -> None:
+    """In-place abs/rel position-table interpolation to a new input
+    resolution (ref adapter/image.py:262-305) — applied when the model is
+    built for a larger patch_image_size than the checkpoint's."""
+    from .interpolate import resize_pos_embed_2d
+
+    pos_key = f"{prefix}.pos_embed"
+    if pos_key in sd:
+        pos = sd[pos_key]
+        src = int((pos.shape[0] - 1) ** 0.5)
+        if src != bucket_size:
+            logger.info("interpolating abs pos embed %d -> %d", src, bucket_size)
+            sd[pos_key] = np.concatenate(
+                [pos[:1], resize_pos_embed_2d(pos[1:], src, bucket_size)], axis=0)
+    i = 0
+    while f"{prefix}.rel_pos_table_list.{i}.weight" in sd:
+        key = f"{prefix}.rel_pos_table_list.{i}.weight"
+        tbl = sd[key]
+        src = int((tbl.shape[0] - 3) ** 0.5)
+        dst = 2 * rel_bucket_size - 1
+        if src != dst:
+            logger.info("interpolating rel pos table %d -> %d", src, dst)
+            extra = tbl[-3:]
+            sd[key] = np.concatenate(
+                [geometric_sequence_interpolation(src, dst, tbl[:-3]), extra],
+                axis=0)
+        i += 1
+
+
 def _collect_rel_tables(sd, prefix) -> Optional[np.ndarray]:
     tables = []
     i = 0
@@ -226,6 +293,10 @@ def convert_wrapper(sd, prefix, enc_cfg) -> Dict[str, Any]:
     if any(k.startswith(f"{prefix}.text_adapter.") for k in sd):
         params["text_adapter"] = convert_text_adapter(sd, f"{prefix}.text_adapter")
     if any(k.startswith(f"{prefix}.image_adapter.") for k in sd):
+        upgrade_image_adapter_resolution(
+            sd, f"{prefix}.image_adapter",
+            enc_cfg.image_adapter.bucket_size,
+            enc_cfg.image_adapter.rel_bucket_size)
         params["image_adapter"] = convert_image_adapter(
             sd, f"{prefix}.image_adapter", enc_cfg.image_adapter.vision_encoder_type)
     if any(k.startswith(f"{prefix}.audio_adapter.") for k in sd):
