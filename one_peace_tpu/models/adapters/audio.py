@@ -146,6 +146,11 @@ class AudioAdapter:
     def rel_pos_bias(self, params, seq_len: int) -> Optional[jnp.ndarray]:
         if self.rp_bucket is None:
             return None
+        if seq_len > self.rp_bucket.shape[0]:
+            raise ValueError(
+                f"audio sequence of {seq_len} frames exceeds the rel-pos "
+                f"table ({self.rp_bucket.shape[0]} positions); check the "
+                f"conv feature_encoder_spec stride vs clip length")
         idx = jnp.asarray(self.rp_bucket[:seq_len, :seq_len])
         values = params["rel_pos_table"].astype(jnp.float32)[:, idx]
         return jnp.transpose(values, (0, 3, 1, 2))

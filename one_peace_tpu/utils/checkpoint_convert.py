@@ -101,10 +101,11 @@ def geometric_sequence_interpolation(src_size: int, dst_size: int,
     t = dst_size // 2.0
     dx = np.arange(-t, t + 0.1, 1.0)
     heads = table.shape[-1]
+    k = min(3, src_size - 1)  # cubic when the grid allows it
     out = np.empty((dst_size * dst_size, heads), np.float32)
     for h in range(heads):
         z = table[:, h].reshape(src_size, src_size).astype(np.float64)
-        spline = RectBivariateSpline(x, x, z, kx=3, ky=3)
+        spline = RectBivariateSpline(x, x, z, kx=k, ky=k)
         out[:, h] = spline(dx, dx).reshape(-1)
     return out
 
