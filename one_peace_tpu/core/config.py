@@ -315,16 +315,20 @@ def _coerce(value: Any, target_type: Any) -> Any:
         if target_type is int and isinstance(value, str):
             return int(float(value))
         return target_type(value)
-    # tuples like adam_betas given as "(0.9,0.98)" or lists
+    # tuples like adam_betas "(0.9,0.98)" or nested conv specs
+    # "((512,10,5),(512,3,2),...)"
     origin = getattr(target_type, "__origin__", None)
     if origin is tuple:
         if isinstance(value, str):
-            value = value.strip("()[] ").split(",")
-        return tuple(
-            _coerce(v, target_type.__args__[0] if target_type.__args__ else float)
-            for v in value
-            if v != ""
-        )
+            import ast
+
+            value = ast.literal_eval(value)
+        def deep(v):
+            if isinstance(v, (list, tuple)):
+                return tuple(deep(x) for x in v)
+            return v
+
+        return deep(value)
     return value
 
 

@@ -167,3 +167,21 @@ def test_dcl_loss_vs_reference_formula():
     sim = 2.5 * s @ t.t()
     want = float(F.cross_entropy(sim, tgt))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_mixup_soft_targets():
+    from one_peace_tpu.data.mixup import Mixup
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randn(8, 3, 16, 16).astype(np.float32)
+    targets = rs.randint(0, 10, 8)
+    mix = Mixup(num_classes=10, label_smoothing=0.1, seed=0)
+    out_imgs, soft = mix(imgs, targets)
+    assert out_imgs.shape == imgs.shape
+    assert soft.shape == (8, 10)
+    np.testing.assert_allclose(soft.sum(axis=1), 1.0, rtol=1e-5)
+    # prob=0 passthrough keeps smoothing only
+    mix0 = Mixup(prob=0.0, num_classes=10, label_smoothing=0.0, seed=0)
+    p_imgs, p_soft = mix0(imgs, targets)
+    np.testing.assert_array_equal(p_imgs, imgs)
+    assert (p_soft.max(axis=1) == 1.0).all()
