@@ -273,6 +273,12 @@ class FusionEncoder:
                 deterministic=deterministic,
                 rng=layer_rng if use_rng else None,
             )
+            if cfg.layerdrop > 0.0 and use_rng:
+                # LayerDrop (ref transformer_encoder.py:48-51): skip whole
+                # layers with prob p during training
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(layer_rng, 1), 1.0 - cfg.layerdrop)
+                out = jnp.where(keep, out, carry)
             return out, (out if return_all_hiddens else None)
 
         if cfg.checkpoint_activations:
