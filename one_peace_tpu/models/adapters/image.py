@@ -139,6 +139,12 @@ class ImageAdapter:
         bsz = src_images.shape[0]
         window_size = src_images.shape[2] // 16
         seq_len = window_size**2 + 1
+        if cfg.use_attn_bias and window_size != cfg.rel_bucket_size:
+            raise ValueError(
+                f"image {src_images.shape[2]}px gives a {window_size}x"
+                f"{window_size} patch grid but rel_bucket_size is "
+                f"{cfg.rel_bucket_size}; set image_adapter.rel_bucket_size = "
+                f"patch_image_size // 16 (ref one_peace_retrieval.py:128)")
         dtype = params["cls_embedding"].dtype
 
         padding_mask = jnp.zeros((bsz, seq_len), bool)
