@@ -96,3 +96,81 @@ def ms_deform_attn_core(
     weighted = stacked * attention_weights[..., None]
     out = weighted.sum(axis=(3, 4))  # (N, Lq, M, D)
     return out.reshape(n, lq, m * d)
+
+
+class MSDeformAttnModule:
+    """The full deformable-attention layer (deformable-DETR form, as used
+    by the reference's seg/ops/modules): value/offset/weight projections
+    around the sampling core, with the channel ``ratio`` trick.
+
+    params: value_proj (D, D*ratio), sampling_offsets (D, M*L*P*2),
+    attention_weights (D, M*L*P), output_proj (D*ratio, D)."""
+
+    def __init__(self, d_model: int, n_levels: int = 1, n_heads: int = 6,
+                 n_points: int = 4, ratio: float = 1.0):
+        self.d = d_model
+        self.levels = n_levels
+        self.heads = n_heads
+        self.points = n_points
+        self.ratio = ratio
+        self.dv = int(d_model * ratio)
+
+    def init(self, key, dtype=jnp.float32):
+        import numpy as np
+
+        from ..models.components import init_linear
+
+        keys = jax.random.split(key, 4)
+        params = {
+            "value_proj": init_linear(keys[0], self.d, self.dv, dtype=dtype),
+            "sampling_offsets": init_linear(
+                keys[1], self.d, self.heads * self.levels * self.points * 2,
+                dtype=dtype),
+            "attention_weights": init_linear(
+                keys[2], self.d, self.heads * self.levels * self.points,
+                dtype=dtype),
+            "output_proj": init_linear(keys[3], self.dv, self.d, dtype=dtype),
+        }
+        # deformable-DETR init: offsets weight zero, bias pointing at a
+        # ring of directions scaled by point index
+        thetas = np.arange(self.heads) * (2.0 * np.pi / self.heads)
+        grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+        grid = grid / np.abs(grid).max(-1, keepdims=True)
+        grid = np.tile(grid[:, None, None, :], (1, self.levels, self.points, 1))
+        for p in range(self.points):
+            grid[:, :, p] *= p + 1
+        params["sampling_offsets"]["w"] = jnp.zeros_like(
+            params["sampling_offsets"]["w"])
+        params["sampling_offsets"]["b"] = jnp.asarray(
+            grid.reshape(-1), dtype)
+        params["attention_weights"]["w"] = jnp.zeros_like(
+            params["attention_weights"]["w"])
+        params["attention_weights"]["b"] = jnp.zeros_like(
+            params["attention_weights"]["b"])
+        return params
+
+    def __call__(self, params, query, reference_points, value,
+                 spatial_shapes) -> jnp.ndarray:
+        """query (N, Lq, D); reference_points (N, L_total_q, 1_or_L, 2) in
+        [0,1]; value (N, S, D) flattened levels; spatial_shapes: list of
+        (H, W)."""
+        from ..models.components import linear
+
+        n, lq, _ = query.shape
+        s = value.shape[1]
+        m, levels, p = self.heads, self.levels, self.points
+        v = linear(params["value_proj"], value).reshape(n, s, m, self.dv // m)
+        offsets = linear(params["sampling_offsets"], query).reshape(
+            n, lq, m, levels, p, 2)
+        weights = linear(params["attention_weights"], query).reshape(
+            n, lq, m, levels * p)
+        weights = jax.nn.softmax(weights, axis=-1).reshape(n, lq, m, levels, p)
+
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], jnp.float32)  # (L, 2)
+        # reference_points (N, Lq, 1_or_L, 2) -> (N, Lq, 1, 1_or_L, 1, 2),
+        # broadcast against offsets (N, Lq, M, L, P, 2)
+        ref = reference_points[:, :, None, :, None, :]
+        locs = ref + offsets / normalizer[None, None, None, :, None, :]
+        out = ms_deform_attn_core(v, spatial_shapes, locs, weights)
+        return linear(params["output_proj"], out)
