@@ -36,3 +36,29 @@ def test_video_classifier():
     logits = model(params, frames)
     assert logits.shape == (2, 7)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fcos_detection_head():
+    from one_peace_tpu.vision.detection import FCOSHead, batched_nms
+
+    head = FCOSHead(in_channels=32, num_classes=5, channels=16, num_convs=2,
+                    strides=(8, 16))
+    params = head.init(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    feats = [jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32),
+             jnp.asarray(rs.randn(2, 4, 4, 32), jnp.float32)]
+    outs = head(params, feats)
+    assert outs[0][0].shape == (2, 8, 8, 5)   # cls
+    assert outs[0][1].shape == (2, 8, 8, 4)   # box (positive distances)
+    assert np.all(np.asarray(outs[0][1]) > 0)
+    dets = head.decode(outs, score_thresh=0.0, max_dets=10)
+    assert len(dets) == 2
+    assert dets[0]["boxes"].shape[1] == 4
+    assert len(dets[0]["scores"]) <= 10
+
+    # NMS suppresses overlapping same-class boxes, keeps other classes
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    labels = np.array([0, 0, 1])
+    keep = batched_nms(boxes, scores, labels)
+    assert set(keep.tolist()) == {0, 2}
