@@ -152,6 +152,11 @@ def decoder_default_config() -> EncoderConfig:
     dec.image_adapter.use_attn_bias = False
     dec.image_adapter.vision_encoder_type = "none"
     dec.audio_adapter.use_attn_bias = False
+    # decoder audio adapter: no conv frontend, fixed abs positions
+    # (ref pretrain_al_3B.yaml decoder.audio_adapter)
+    dec.audio_adapter.feature_encoder_spec = ()
+    dec.audio_adapter.abs_pos_type = "fixed"
+    dec.audio_adapter.bucket_size = 256
     return dec
 
 

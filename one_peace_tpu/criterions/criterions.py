@@ -171,9 +171,14 @@ class ImageTextPretrainCriterion:
 
 @CRITERIONS.register("audio_text_pretrain_loss")
 class AudioTextPretrainCriterion:
-    """ATC + 3 DCL terms (ref audio_text_pretrain_loss.py:44-144):
-    audio teacher, text teacher (frozen in stage 2), no-grad AL teacher,
-    audio + AL-audio student passes."""
+    """ATC + 3 DCL terms (ref audio_text_pretrain_loss.py:73-150).
+
+    Pass structure matches the reference exactly: no-grad text teacher
+    (the text branch is frozen in stage 2), audio teacher (ATC side),
+    no-grad AL teacher, unimodal audio student, AL student (both text and
+    audio masked).  Note both audio DCL terms score against the *AL*
+    teacher features (ref :125-135), not the unimodal audio teacher.
+    """
 
     def __init__(self, cfg: CriterionConfig):
         self.cfg = cfg
@@ -185,9 +190,10 @@ class AudioTextPretrainCriterion:
         src_audios = batch["src_audios"]
         pad_masks = batch["audio_padding_masks"]
 
-        text_logits, _ = model(params, src_tokens=src_tokens, encoder_type="text",
-                               deterministic=deterministic, rng=rngs[0])
-        audio_logits, teacher_audio = model(
+        text_logits, _ = jax.lax.stop_gradient(model(
+            params, src_tokens=src_tokens, encoder_type="text",
+            deterministic=deterministic, rng=rngs[0]))
+        audio_logits, _ = model(
             params, src_audios=src_audios, audio_padding_masks=pad_masks,
             encoder_type="audio", deterministic=deterministic, rng=rngs[1])
         teacher_al_text, teacher_al_audio = jax.lax.stop_gradient(model(
@@ -199,29 +205,33 @@ class AudioTextPretrainCriterion:
             params, src_audios=src_audios, audio_padding_masks=pad_masks,
             audio_preserve_ids=batch["audio_preserve_ids"], encoder_type="audio",
             deterministic=deterministic, rng=rngs[3])
-        _, _, student_al_audio = model(
-            params, src_tokens=src_tokens, src_audios=src_audios,
-            audio_padding_masks=pad_masks,
+        student_al_text, _, student_al_audio = model(
+            params, src_tokens=src_tokens,
+            text_preserve_ids=batch["al_text_preserve_ids"],
+            src_audios=src_audios, audio_padding_masks=pad_masks,
             audio_preserve_ids=batch["al_audio_preserve_ids"],
-            text_preserve_ids=batch.get("al_text_preserve_ids"),
             encoder_type="al", deterministic=deterministic, rng=rngs[4])
-        if isinstance(student_al_audio, tuple):
-            student_al_audio = student_al_audio[-1]
 
         scale = model.logit_scale_exp(params)
-        dcl_audio = dcl_loss(student_audio, teacher_audio,
+        text_padding = src_tokens == 1
+        dcl_audio = dcl_loss(student_audio, teacher_al_audio,
                              batch["audio_mask_indices"], pad_masks,
                              c.dcl_logit_scale, c.label_smoothing)
+        dcl_al_text = dcl_loss(student_al_text, teacher_al_text,
+                               batch["al_text_mask_indices"], text_padding,
+                               c.dcl_logit_scale, c.label_smoothing)
         dcl_al_audio = dcl_loss(student_al_audio, teacher_al_audio,
                                 batch["al_audio_mask_indices"], pad_masks,
                                 c.dcl_logit_scale, c.label_smoothing)
         atc, m = itc_loss(audio_logits, text_logits, scale)
         loss = (atc + c.dcl_audio_alpha * dcl_audio
+                + c.dcl_al_text_alpha * dcl_al_text
                 + c.dcl_al_audio_alpha * dcl_al_audio)
         bsz = src_tokens.shape[0]
         metrics = {
             "loss": loss, "atc_loss": atc,
-            "dcl_audio_loss": dcl_audio, "dcl_al_audio_loss": dcl_al_audio,
+            "dcl_audio_loss": dcl_audio, "dcl_al_text_loss": dcl_al_text,
+            "dcl_al_audio_loss": dcl_al_audio,
             "logit_scale_exp": scale,
             "a2t_accuracy": 100.0 * m["a2b_ncorrect"] / bsz,
             "t2a_accuracy": 100.0 * m["b2a_ncorrect"] / bsz,

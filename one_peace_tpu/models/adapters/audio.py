@@ -63,22 +63,26 @@ class AudioAdapter:
         params = {}
 
         # feature extractor: conv (kaiming normal) -> LN(affine) -> GELU per
-        # layer (ref audio.py:254-311)
-        feat = []
-        in_ch = 1
-        for i, (out_ch, k, _s) in enumerate(cfg.feature_encoder_spec):
-            feat.append({
-                "conv": init_conv1d(keys[i % 8], in_ch, out_ch, k, bias=cfg.conv_bias,
-                                    init="kaiming_normal", dtype=dtype),
-                "ln": {"scale": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype)},
-            })
-            in_ch = out_ch
-        params["feature_extractor"] = feat
-        feature_dim = cfg.feature_encoder_spec[-1][0]
-        params["post_extract_ln"] = {
-            "scale": jnp.ones((feature_dim,), dtype), "bias": jnp.zeros((feature_dim,), dtype)
-        }
-        params["post_extract_proj"] = init_linear(keys[8], feature_dim, d, dtype=dtype)
+        # layer (ref audio.py:254-311).  The pretrain decoder's adapter has
+        # no conv frontend (feature_encoder_spec empty, ref
+        # pretrain_al_3B.yaml decoder.audio_adapter) — it only ever runs
+        # the preserve_embed scatter path.
+        if cfg.feature_encoder_spec:
+            feat = []
+            in_ch = 1
+            for i, (out_ch, k, _s) in enumerate(cfg.feature_encoder_spec):
+                feat.append({
+                    "conv": init_conv1d(keys[i % 8], in_ch, out_ch, k, bias=cfg.conv_bias,
+                                        init="kaiming_normal", dtype=dtype),
+                    "ln": {"scale": jnp.ones((out_ch,), dtype), "bias": jnp.zeros((out_ch,), dtype)},
+                })
+                in_ch = out_ch
+            params["feature_extractor"] = feat
+            feature_dim = cfg.feature_encoder_spec[-1][0]
+            params["post_extract_ln"] = {
+                "scale": jnp.ones((feature_dim,), dtype), "bias": jnp.zeros((feature_dim,), dtype)
+            }
+            params["post_extract_proj"] = init_linear(keys[8], feature_dim, d, dtype=dtype)
 
         if cfg.abs_pos_type == "conv":
             pos_convs = []
