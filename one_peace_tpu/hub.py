@@ -103,6 +103,8 @@ def from_pretrained(
     model_cfg: Optional[ModelConfig] = None,
     task_cfg: Optional[TaskConfig] = None,
     attn_impl: str = "xla",
+    num_classes: Optional[int] = None,
+    classify_kwargs: Optional[dict] = None,
 ) -> "OnePeaceHubInterface":
     """Load a checkpoint into the retrieval model.
 
@@ -117,10 +119,20 @@ def from_pretrained(
         model_cfg.encoder.image_adapter.rel_bucket_size = task_cfg.patch_image_size // 16
     jdtype = {"float32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}[dtype]
 
-    model = OnePeaceRetrievalModel(model_cfg)
+    if model_type == "one_peace_classify":
+        from .models.classify import OnePeaceClassifyModel
+
+        model = OnePeaceClassifyModel(model_cfg, num_classes=num_classes or 2,
+                                      **(classify_kwargs or {}))
+    else:
+        model = OnePeaceRetrievalModel(model_cfg)
     if model_path.endswith(".pt"):
+        from .utils.checkpoint_convert import convert_classify_model
+
         sd = load_torch_state_dict(model_path)
-        params = to_jax(convert_retrieval_model(sd, model_cfg), dtype=jdtype)
+        convert = (convert_classify_model if model_type == "one_peace_classify"
+                   else convert_retrieval_model)
+        params = to_jax(convert(sd, model_cfg), dtype=jdtype)
     else:
         from .utils.native_checkpoint import load_params
 
@@ -147,10 +159,19 @@ class OnePeaceHubInterface:
         self.tokenizer = TextTokenizer(bpe, max_src_length=task_cfg.max_src_length)
         self.feature_encoder_spec = model_cfg.encoder.audio_adapter.feature_encoder_spec
 
-        self._jit_forward = jax.jit(
-            lambda params, batch, et: self.model(params, **batch, encoder_type=et),
-            static_argnames=("et",),
-        )
+        self.is_classify = model_cfg._name == "one_peace_classify"
+        if self.is_classify:
+            # classify models take no encoder_type (ref hub_interface.py:
+            # 206-222 dispatch)
+            self._jit_forward = jax.jit(
+                lambda params, batch, et: self.model(params, **batch),
+                static_argnames=("et",),
+            )
+        else:
+            self._jit_forward = jax.jit(
+                lambda params, batch, et: self.model(params, **batch, encoder_type=et),
+                static_argnames=("et",),
+            )
 
     # ------------------------------------------------------------------
     # preprocessing

@@ -319,6 +319,34 @@ def convert_wrapper(sd, prefix, enc_cfg) -> Dict[str, Any]:
     return params
 
 
+def convert_classify_model(sd: Dict[str, np.ndarray], model_cfg) -> Dict[str, Any]:
+    """Conversion for one_peace_classify checkpoints (finetune_vggsound.pt,
+    finetune_refcocog.pt — ref one_peace_classify.py naming: classify_head
+    with norm/pooler/attn-pooling/classifier)."""
+    enc = model_cfg.encoder
+    sd = upgrade_state_dict(sd, enc.layers)
+    params: Dict[str, Any] = {
+        "encoder_wrapper": convert_wrapper(sd, "encoder_wrapper", enc)}
+    head: Dict[str, Any] = {"norm": _ln(sd, "classify_head.norm")}
+    if "classify_head.attn_pooling_func.q" in sd:
+        ap = {
+            "k_proj": _lin(sd, "classify_head.attn_pooling_func.k_proj"),
+            "v_proj": _lin(sd, "classify_head.attn_pooling_func.v_proj"),
+            "out_proj": _lin(sd, "classify_head.attn_pooling_func.out_proj"),
+            "q": sd["classify_head.attn_pooling_func.q"],
+        }
+        head["attn_pooling"] = ap
+    if "classify_head.pooler.1.weight" in sd:
+        head["pooler"] = _lin(sd, "classify_head.pooler.1")
+    head["classifier"] = {
+        "fc1": _lin(sd, "classify_head.classifier.0"),
+        "ln": _ln(sd, "classify_head.classifier.1"),
+        "fc2": _lin(sd, "classify_head.classifier.3"),
+    }
+    params["classify_head"] = head
+    return params
+
+
 def convert_retrieval_model(sd: Dict[str, np.ndarray], model_cfg) -> Dict[str, Any]:
     """Full conversion for one_peace_retrieval
     (ref naming from one_peace_retrieval.py:34-131)."""

@@ -76,3 +76,35 @@ def test_text_image_similarity_api(hub):
     i = np.asarray(hub.extract_image_features(imgs), np.float32)
     sim = (t @ i.T)[0, 0]
     assert -1.0 <= sim <= 1.0
+
+
+def test_classify_model_from_converted_checkpoint(tmp_path):
+    """VGGSound-style flow: classify checkpoint -> hub -> audio logits."""
+    import torch_fixture as tf
+    from helpers import tiny_model_config
+
+    from one_peace_tpu.core.config import TaskConfig
+    from one_peace_tpu.models.classify import OnePeaceClassifyModel
+    from one_peace_tpu.utils.checkpoint_convert import convert_classify_model, to_jax
+    import jax.numpy as jnp
+
+    cfg = tiny_model_config(head_type="al")
+    cfg._name = "one_peace_classify"
+    cfg.encoder.audio_adapter.feature_encoder_spec = (
+        (16, 10, 5), (16, 8, 8), (16, 8, 8))
+    sd = tf.make_random_state_dict(cfg, seed=0)
+    tf.add_classify_head_state(sd, cfg, num_classes=6, attn_pooling=True)
+    model = OnePeaceClassifyModel(cfg, num_classes=6, attn_pooling=True)
+    params = to_jax(convert_classify_model(sd, cfg))
+
+    rs = np.random.RandomState(1)
+    tokens = jnp.asarray(rs.randint(5, 99, (2, 6)))
+    wav = jnp.asarray(rs.randn(2, 3200), jnp.float32)
+    from one_peace_tpu.models.adapters.audio import conv_output_length
+
+    t = conv_output_length(3200, cfg.encoder.audio_adapter.feature_encoder_spec)
+    pad = jnp.zeros((2, t + 1), bool)
+    logits = model(params, src_tokens=tokens, src_audios=wav,
+                   audio_padding_masks=pad)
+    assert logits.shape == (2, 6)
+    assert np.isfinite(np.asarray(logits)).all()

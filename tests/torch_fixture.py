@@ -404,3 +404,38 @@ def retrieval_forward(sd, cfg, encoder_type, src_tokens=None, src_images=None,
         proj = lin(cls, sd, f"{encoder_type}_proj")
         return F.normalize(proj, dim=-1)
     return out
+
+
+def add_classify_head_state(sd, cfg, num_classes, attn_pooling=False,
+                            use_pooler=False, head_scale_ratio=1.0, seed=10):
+    """Extend a state dict with classify_head keys (ref one_peace_base.py:
+    175-214 naming)."""
+    rng = np.random.RandomState(seed)
+    d = cfg.encoder.embed_dim
+    inner = int(d * head_scale_ratio)
+
+    def add(name, *shape, scale=0.05):
+        sd[name] = rng.randn(*shape).astype(np.float32) * scale
+
+    add("classify_head.norm.weight", d, scale=1.0)
+    sd["classify_head.norm.weight"] += 1
+    add("classify_head.norm.bias", d)
+    if attn_pooling:
+        add("classify_head.attn_pooling_func.k_proj.weight", d, d)
+        add("classify_head.attn_pooling_func.v_proj.weight", d, d)
+        add("classify_head.attn_pooling_func.v_proj.bias", d)
+        add("classify_head.attn_pooling_func.out_proj.weight", d, d)
+        add("classify_head.attn_pooling_func.out_proj.bias", d)
+        heads = cfg.encoder.attention_heads
+        add("classify_head.attn_pooling_func.q", 1, 1, heads, d // heads)
+    if use_pooler:
+        add("classify_head.pooler.1.weight", d, d)
+        add("classify_head.pooler.1.bias", d)
+    add("classify_head.classifier.0.weight", inner, d)
+    add("classify_head.classifier.0.bias", inner)
+    add("classify_head.classifier.1.weight", inner, scale=1.0)
+    sd["classify_head.classifier.1.weight"] += 1
+    add("classify_head.classifier.1.bias", inner)
+    add("classify_head.classifier.3.weight", num_classes, inner)
+    add("classify_head.classifier.3.bias", num_classes)
+    return sd
