@@ -123,12 +123,19 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
 
 
 def _geglu_ffn(params, x, act_dropout, deterministic, rng):
-    """ref: transformer_layer.py:54-67,149-157."""
-    y = gelu(linear(params["wi_0"], x)) * linear(params["wi_1"], x)
+    """ref: transformer_layer.py:54-67,149-157.
+
+    Projections dispatch to the int8 path when the params were converted
+    by ops.quant.quantize_ffn_params (serving mode)."""
+    from ..ops.quant import is_quantized, quantized_linear
+
+    lin = quantized_linear if is_quantized(params["wi_0"]) else linear
+    y = gelu(lin(params["wi_0"], x)) * lin(params["wi_1"], x)
     y = dropout(rng, y, act_dropout, deterministic)
     if "ffn_ln" in params:
         y = layer_norm(params["ffn_ln"], y)
-    return linear(params["wo"], y)
+    lin_o = quantized_linear if is_quantized(params["wo"]) else linear
+    return lin_o(params["wo"], y)
 
 
 def encoder_layer(

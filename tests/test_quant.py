@@ -1,0 +1,46 @@
+"""Int8 FFN quantization: accuracy vs the fp32 path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from helpers import tiny_model_config
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_quantized_linear_accuracy():
+    from one_peace_tpu.ops.quant import quantize_weight, quantized_linear
+
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(64, 128) * 0.05, jnp.float32)
+    b = jnp.asarray(rs.randn(128) * 0.01, jnp.float32)
+    x = jnp.asarray(rs.randn(4, 64), jnp.float32)
+    q = quantize_weight(w)
+    q["b"] = b
+    got = quantized_linear(q, x)
+    want = x @ w + b
+    assert _cos(got, want) > 0.999
+
+
+def test_quantized_model_embeddings_close():
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.ops.quant import quantize_ffn_params
+
+    cfg = tiny_model_config(head_type="val")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = dict(params)
+    qparams["encoder_wrapper"] = quantize_ffn_params(params["encoder_wrapper"])
+
+    tokens = jnp.asarray(np.random.RandomState(1).randint(5, 99, (2, 8)))
+    ref = model(params, src_tokens=tokens, encoder_type="text")
+    got = model(qparams, src_tokens=tokens, encoder_type="text")
+    assert _cos(got, ref) > 0.995
+    # int8 leaves actually present
+    leaf = qparams["encoder_wrapper"]["fusion"]["layers"]["text_ffn"]["wi_0"]
+    assert leaf["w_q"].dtype == jnp.int8
