@@ -175,9 +175,13 @@ class Trainer:
 
     def load_state_dict(self, state):
         self.params = shard_params(self.mesh, state["params"])
-        self.opt_state = state["opt_state"]
+        # restored arrays arrive unsharded; re-place the optimizer state on
+        # the mesh with the same shardings used at init
+        oshard = _opt_state_shardings(self.tx, self.mesh, self.params)
+        self.opt_state = jax.tree.map(jax.device_put, state["opt_state"], oshard)
         self.step = int(state["step"])
-        self._rng = state["rng"]
+        self._rng = jax.device_put(
+            state["rng"], NamedSharding(self.mesh, P()))
 
 
 def _masked(tx, mask) -> optax.GradientTransformation:

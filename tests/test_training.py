@@ -184,3 +184,42 @@ def test_grad_accumulation_matches_large_batch():
     trainer.train_step(batch)  # micro-step 2: applied
     after = np.asarray(trainer.params["text_proj"]["w"])
     assert not np.array_equal(mid, after)
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    """Preemption-safe resume: save the train state, rebuild a fresh
+    trainer, restore, continue — params and step must carry over."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+    from one_peace_tpu.utils import native_checkpoint as ckpt
+    import jax
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    trainer.train_step(batch)
+    trainer.train_step(batch)
+    path = ckpt.save_train_state(str(tmp_path / "ckpts"), trainer.step,
+                                 trainer.state_dict())
+    assert ckpt.latest_checkpoint(str(tmp_path / "ckpts")) == path
+
+    trainer2 = Trainer(cfg, model, criterion)
+    state = ckpt.restore_train_state(path, trainer2.state_dict())
+    trainer2.load_state_dict(state)
+    assert trainer2.step == 2
+    np.testing.assert_allclose(
+        np.asarray(trainer2.params["text_proj"]["w"]),
+        np.asarray(trainer.params["text_proj"]["w"]), rtol=1e-6)
+    m1 = trainer.train_step(batch)
+    m2 = trainer2.train_step(batch)
+    assert m2["loss"] == pytest.approx(m1["loss"], rel=1e-4)
