@@ -188,6 +188,13 @@ class TaskConfig:
     valid_file: str = ""
     use_template: bool = False
     zero_shot: bool = False
+    # classification extras (image_classify / vggsound / fsd50k)
+    num_classes: int = 1000
+    mixup: float = 0.0
+    cutmix: float = 0.0
+    mixup_prob: float = 1.0
+    mixup_switch_prob: float = 0.5
+    label_smoothing: float = 0.0
 
 
 @dataclass

@@ -243,6 +243,28 @@ class ImageClassifyTask(ClassifyTaskBase):
     def dataset_kwargs(self):
         return {"patch_image_size": self.cfg.patch_image_size}
 
+    def get_batch_iterator(self, split, batch_size, **kw):
+        """Training batches optionally pass through Mixup/CutMix after
+        collation (ref image_classify_dataset.py:46-52 — batch mode),
+        replacing hard labels with soft targets."""
+        itr = super().get_batch_iterator(split, batch_size, **kw)
+        c = self.cfg
+        if split == "train" and (c.mixup > 0 or c.cutmix > 0):
+            from ..data.mixup import Mixup
+
+            mixer = Mixup(c.mixup, c.cutmix, c.mixup_prob, c.mixup_switch_prob,
+                          c.label_smoothing, c.num_classes)
+            base_collate = itr.collate_fn
+
+            def collate_with_mixup(samples):
+                batch = base_collate(samples)
+                batch["src_images"], batch["target"] = mixer(
+                    batch["src_images"], batch["target"])
+                return batch
+
+            itr.collate_fn = collate_with_mixup
+        return itr
+
 
 @TASKS.register("vggsound")
 class VggsoundTask(ClassifyTaskBase):

@@ -72,3 +72,30 @@ def test_train_cli_runs(corpus):
     assert os.path.isdir(os.path.join(root, "ckpts"))
     names = os.listdir(os.path.join(root, "ckpts"))
     assert any(n.startswith("step_") for n in names)
+
+
+def test_image_classify_task_with_mixup(tmp_path):
+    """Mixup/CutMix wired through the task iterator produces soft targets."""
+    from PIL import Image as PILImage
+
+    from one_peace_tpu.core.config import TaskConfig
+    from one_peace_tpu.tasks import build_task
+
+    rs = np.random.RandomState(0)
+    rows = ["image\tlabel"]
+    for i in range(8):
+        p = tmp_path / f"i{i}.png"
+        PILImage.fromarray(
+            rs.randint(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+        rows.append(f"{p}\t{i % 4}")
+    (tmp_path / "train.tsv").write_text("\n".join(rows) + "\n")
+
+    cfg = TaskConfig(_name="image_classify", data=str(tmp_path / "train.tsv"),
+                     selected_cols="image,label", patch_image_size=32,
+                     num_classes=4, mixup=0.8, cutmix=1.0, label_smoothing=0.1)
+    task = build_task(cfg)
+    task.load_dataset("train")
+    itr = task.get_batch_iterator("train", batch_size=4)
+    batch = next(iter(itr.next_epoch_itr()))
+    assert batch["target"].shape == (4, 4)
+    np.testing.assert_allclose(batch["target"].sum(1), 1.0, rtol=1e-5)

@@ -185,3 +185,28 @@ def test_mixup_soft_targets():
     p_imgs, p_soft = mix0(imgs, targets)
     np.testing.assert_array_equal(p_imgs, imgs)
     assert (p_soft.max(axis=1) == 1.0).all()
+
+
+def test_metrics_aggregation_contexts():
+    from one_peace_tpu.core.metrics import aggregate, log_scalar
+
+    with aggregate(new_root=True) as outer:
+        log_scalar("loss", 2.0)
+        with aggregate() as inner:
+            log_scalar("loss", 4.0)
+        log_scalar("loss", 6.0, weight=2.0)
+    # outer: (2 + 4 + 6*2) / (1 + 1 + 2) = 4.5
+    assert outer.as_dict()["loss"] == 4.5
+    assert inner.as_dict()["loss"] == 4.0
+
+
+def test_bleu_scorer():
+    from one_peace_tpu.metrics.bleu import BleuScorer
+
+    s = BleuScorer()
+    s.add([1, 2, 3, 4, 5], [1, 2, 3, 4, 5])
+    assert s.score() == 100.0
+    s2 = BleuScorer()
+    s2.add([1, 2, 3, 4, 5, 6], [1, 2, 3, 9, 5, 6])
+    assert s2.precisions()[0] == pytest.approx(5 / 6)
+    assert s2.precisions()[1] == pytest.approx(3 / 5)
