@@ -39,7 +39,8 @@ def main(argv: Optional[list] = None) -> int:
         args.path, model_type=cfg.model._name,
         dtype="bf16" if cfg.common.bf16 else "float32",
         bpe_dir=cfg.task.bpe_dir or None,
-        model_cfg=cfg.model, task_cfg=cfg.task)
+        model_cfg=cfg.model, task_cfg=cfg.task,
+        num_classes=cfg.task.num_classes)
     model, params = hub.model, hub.params
 
     task.load_dataset("valid")

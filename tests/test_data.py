@@ -210,3 +210,19 @@ def test_bleu_scorer():
     s2.add([1, 2, 3, 4, 5, 6], [1, 2, 3, 9, 5, 6])
     assert s2.precisions()[0] == pytest.approx(5 / 6)
     assert s2.precisions()[1] == pytest.approx(3 / 5)
+
+
+def test_watchdog_trips_on_hang():
+    import time
+
+    from one_peace_tpu.utils.watchdog import Watchdog, WatchdogTimeout
+
+    wd = Watchdog(timeout=0.3, action="raise")
+    with pytest.raises(WatchdogTimeout):
+        with wd.guard("slow"):
+            time.sleep(2.0)
+    # fast sections pass untouched
+    wd2 = Watchdog(timeout=5.0)
+    with wd2.guard("fast"):
+        time.sleep(0.01)
+    assert not wd2.tripped
