@@ -254,6 +254,7 @@ class DatasetConfig:
 class CommonConfig:
     seed: int = 3407
     bf16: bool = True
+    fp16: bool = False  # fp16 + dynamic loss scaling (GPU-parity mode)
     no_bias_decay: bool = True
     log_format: str = "simple"
     log_interval: int = 10

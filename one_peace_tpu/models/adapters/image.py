@@ -78,6 +78,7 @@ class ImageAdapter:
     def embed_patches(self, params, images_nhwc: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) -> (B, (H/16)*(W/16), D)."""
         cfg = self.cfg
+        images_nhwc = images_nhwc.astype(params["cls_embedding"].dtype)
         if cfg.vision_encoder_type == "mlp":
             y = conv2d(params["patch_conv"], images_nhwc, stride=16)
         elif cfg.vision_encoder_type == "hmlp":

@@ -170,14 +170,18 @@ def init_conv2d(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
 
 
 def conv2d(params, x, stride: int, padding="VALID"):
-    """NHWC conv; kernel (kh, kw, in, out)."""
+    """NHWC conv; kernel (kh, kw, in, out).
+
+    No ``preferred_element_type``: with low-precision inputs it breaks the
+    conv VJP (cotangent comes back fp32 against a bf16/fp16 kernel), and
+    the TPU MXU accumulates partial sums in fp32 internally regardless —
+    only the output store is low precision."""
     y = jax.lax.conv_general_dilated(
-        x, params["w"],
+        x, params["w"].astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
@@ -205,16 +209,16 @@ def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1,
 
 
 def conv1d(params, x, stride: int, padding=0, groups: int = 1):
-    """NWC 1-D conv; kernel (k, in/groups, out)."""
+    """NWC 1-D conv; kernel (k, in/groups, out).  See conv2d for why no
+    preferred_element_type."""
     pad = [(padding, padding)] if isinstance(padding, int) else [padding]
     y = jax.lax.conv_general_dilated(
-        x, params["w"],
+        x, params["w"].astype(x.dtype),
         window_strides=(stride,),
         padding=pad,
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y

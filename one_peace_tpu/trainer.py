@@ -61,7 +61,13 @@ class Trainer:
         self.criterion = criterion
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.distributed.dp, cfg.distributed.fsdp, cfg.distributed.tp)
-        self.compute_dtype = jnp.bfloat16 if cfg.common.bf16 else jnp.float32
+        if cfg.common.fp16:
+            self.compute_dtype = jnp.float16
+        elif cfg.common.bf16:
+            self.compute_dtype = jnp.bfloat16
+        else:
+            self.compute_dtype = jnp.float32
+        self.use_loss_scaling = cfg.common.fp16
 
         if params is None:
             params = model.init(jax.random.PRNGKey(cfg.common.seed))
@@ -101,15 +107,30 @@ class Trainer:
         compute_dtype = self.compute_dtype
         criterion = self.criterion
         model = self.model
+        use_scaling = self.use_loss_scaling
+        from .optim.loss_scaler import (
+            init_loss_scale, scale_loss, unscale_grads, update_loss_scale)
 
-        def step_fn(params, opt_state, step, batch, rng):
+        self.loss_scale = init_loss_scale() if use_scaling else None
+
+        def step_fn(params, opt_state, step, batch, rng, scale_state):
             def loss_fn(p):
                 p_c = cast_floats(p, compute_dtype) if compute_dtype != jnp.float32 else p
-                return criterion(model, p_c, batch, rng=rng, deterministic=False)
+                loss, metrics = criterion(model, p_c, batch, rng=rng,
+                                          deterministic=False)
+                if use_scaling:
+                    return scale_loss(scale_state, loss), metrics
+                return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if use_scaling:
+                grads = unscale_grads(scale_state, grads)
             gnorm = optax.global_norm(grads)
             finite = jnp.isfinite(gnorm)
+            if use_scaling:
+                scale_state = update_loss_scale(scale_state, finite)
+                metrics = dict(metrics)
+                metrics["loss_scale"] = scale_state.scale
             # skip the update on non-finite grads (the reference re-runs with
             # NanDetector then raises; we skip like its AMP retry path)
             safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
@@ -121,7 +142,7 @@ class Trainer:
             metrics["gnorm"] = gnorm
             metrics["lr"] = self.lr_schedule(step)
             metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
-            return new_params, new_opt_state, metrics
+            return new_params, new_opt_state, metrics, scale_state
 
         pshard = param_shardings(self.mesh, self.params)
         oshard = jax.tree.map(
@@ -131,8 +152,8 @@ class Trainer:
         )
         return jax.jit(
             step_fn,
-            in_shardings=(pshard, oshard, NamedSharding(self.mesh, P()), None, None),
-            out_shardings=(pshard, oshard, None),
+            in_shardings=(pshard, oshard, NamedSharding(self.mesh, P()), None, None, None),
+            out_shardings=(pshard, oshard, None, None),
             donate_argnums=(0, 1),
         )
 
@@ -144,8 +165,9 @@ class Trainer:
             batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
             self._rng, rng = jax.random.split(self._rng)
             t0 = time.time()
-            self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, jnp.asarray(self.step), batch, rng)
+            self.params, self.opt_state, metrics, self.loss_scale = self._train_step(
+                self.params, self.opt_state, jnp.asarray(self.step), batch, rng,
+                self.loss_scale)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time"] = time.time() - t0
             self.step += 1

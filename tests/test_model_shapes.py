@@ -106,3 +106,33 @@ def test_training_mode_runs():
         params, src_tokens=tokens, encoder_type="text",
         deterministic=False, rng=jax.random.PRNGKey(42))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_audio_fixed_pos_type():
+    """abs_pos_type='fixed' (the pretrain decoder's mode) on the encoder
+    side: learned table positions instead of the conv stack."""
+    from one_peace_tpu.models.adapters.audio import AudioAdapter, conv_output_length
+
+    cfg = tiny_encoder_config()
+    cfg.audio_adapter.abs_pos_type = "fixed"
+    adapter = AudioAdapter(cfg.audio_adapter, cfg.embed_dim,
+                           cfg.attention_heads, num_rel_tables=1)
+    import jax
+
+    params = adapter.init(jax.random.PRNGKey(0))
+    assert "embed_positions" in params and "pos_convs" not in params
+    # the decoder path: scatter preserved embeds + fixed positions
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    seq_len = 5
+    preserve = np.array([[0, 2, -1]])
+    pres_embed = rs.randn(1, 3, cfg.embed_dim).astype(np.float32)
+    mask_token = rs.randn(1, cfg.embed_dim).astype(np.float32)
+    pad = np.zeros((1, seq_len), bool)
+    x, _, _ = adapter(params, jnp.zeros((1, 16)), jnp.asarray(pad),
+                      preserve_ids=jnp.asarray(preserve),
+                      preserve_embed=jnp.asarray(pres_embed),
+                      mask_token=jnp.asarray(mask_token))
+    assert x.shape == (1, seq_len, cfg.embed_dim)
+    assert np.isfinite(np.asarray(x)).all()

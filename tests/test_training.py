@@ -223,3 +223,57 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     m1 = trainer.train_step(batch)
     m2 = trainer2.train_step(batch)
     assert m2["loss"] == pytest.approx(m1["loss"], rel=1e-4)
+
+
+def test_fp16_loss_scaling_path():
+    """fp16 compute + dynamic loss scaling: trains, tracks the scale, and
+    shrinks the scale on a poisoned batch instead of corrupting params."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    cfg.common.bf16 = False
+    cfg.common.fp16 = True
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    m1 = trainer.train_step(batch)
+    assert np.isfinite(m1["loss"]) and m1["skipped"] == 0.0
+    scale_before = float(trainer.loss_scale.scale)
+    bad = dict(batch)
+    bad["src_images"] = np.full((8, 3, 32, 32), np.nan, np.float32)
+    m2 = trainer.train_step(bad)
+    assert m2["skipped"] == 1.0
+    assert float(trainer.loss_scale.scale) < scale_before
+
+
+def test_bf16_training_grads_through_conv_frontends():
+    """bf16 compute must differentiate through the hMLP/audio conv stacks
+    (regression: preferred_element_type used to break the conv VJP)."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    cfg.common.bf16 = True
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    m = trainer.train_step(batch)
+    assert np.isfinite(m["loss"]) and m["skipped"] == 0.0 and m["gnorm"] > 0
