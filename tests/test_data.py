@@ -226,3 +226,19 @@ def test_watchdog_trips_on_hang():
     with wd2.guard("fast"):
         time.sleep(0.01)
     assert not wd2.tripped
+
+
+def test_edit_distance_native():
+    from one_peace_tpu.metrics.edit_distance import (
+        edit_distance, edit_distance_batch, edit_alignment)
+
+    assert edit_distance([1, 2, 3], [1, 2, 3]) == 0
+    assert edit_distance([1, 2, 3], [1, 3]) == 1          # deletion
+    assert edit_distance([1, 2, 3], [1, 9, 3]) == 1       # substitution
+    assert edit_distance([], [1, 2]) == 2                 # insertions
+    batch_a = np.array([[1, 2, 3, 0], [5, 6, 0, 0]], np.int32)
+    batch_b = np.array([[1, 3, 0], [5, 6, 7]], np.int32)
+    d = edit_distance_batch(batch_a, batch_b, pad_id=0)
+    np.testing.assert_array_equal(d, [1, 1])
+    align = edit_alignment([1, 2, 3], [1, 9, 3])
+    assert align == [0, 1, 2]
