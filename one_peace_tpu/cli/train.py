@@ -41,8 +41,15 @@ def build_model_for_task(cfg, task):
 def main(argv: Optional[list] = None) -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None)
+    parser.add_argument("--user-dir", default=None,
+                        help="plugin module dir with extra @register'd "
+                             "tasks/models/criterions")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
+    if args.user_dir:
+        from ..core.registry import load_user_module
+
+        load_user_module(args.user_dir)
 
     from ..core.config import load_config
     from ..core.metrics import ProgressLogger, aggregate, log_scalar
@@ -114,13 +121,40 @@ def main(argv: Optional[list] = None) -> int:
             progress.print(agg.as_dict(), trainer.step)
 
         if cfg.task.valid_data and epoch % cfg.dataset.validate_interval == 0:
-            validate(cfg, task, model, trainer, progress)
+            stats = validate(cfg, task, model, trainer, progress)
+            _maybe_save_best(cfg, trainer, stats)
         if epoch % cfg.checkpoint.save_interval == 0:
             ckpt.save_train_state(cfg.checkpoint.save_dir, trainer.step,
                                   trainer.state_dict(),
                                   keep=max(cfg.checkpoint.keep_last_epochs, 1))
         epoch += 1
     return 0
+
+
+_BEST_METRIC = {"value": None}
+
+
+def _maybe_save_best(cfg, trainer, stats):
+    """Track best_checkpoint_metric and export best params
+    (ref checkpoint_utils.py save policy: best/last/interval)."""
+    from ..utils import native_checkpoint as ckpt
+
+    key = cfg.checkpoint.best_checkpoint_metric
+    if not key or not stats or key not in stats:
+        return
+    value = stats[key]
+    best = _BEST_METRIC["value"]
+    better = (best is None or
+              (value > best if cfg.checkpoint.maximize_best_checkpoint_metric
+               else value < best))
+    if better:
+        _BEST_METRIC["value"] = value
+        import os
+
+        path = os.path.join(cfg.checkpoint.save_dir, "checkpoint_best.npz")
+        ckpt.save_params(path, trainer.params,
+                         metadata={key: float(value), "step": trainer.step})
+        logger.info("new best %s=%.4f -> %s", key, value, path)
 
 
 def validate(cfg, task, model, trainer, progress):

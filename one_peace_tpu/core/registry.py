@@ -44,3 +44,26 @@ MODELS = Registry("model")
 CRITERIONS = Registry("criterion")
 OPTIMIZERS = Registry("optimizer")
 LR_SCHEDULERS = Registry("lr_scheduler")
+
+
+def load_user_module(path: str) -> None:
+    """Import a user plugin directory/file so its @register decorators run
+    (the ``--user-dir`` mechanism, ref one_peace/user_module/__init__.py +
+    fairseq's import_user_module)."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.abspath(path)
+    if os.path.isdir(path):
+        init = os.path.join(path, "__init__.py")
+        name = os.path.basename(path)
+        spec = importlib.util.spec_from_file_location(name, init)
+    else:
+        name = os.path.splitext(os.path.basename(path))[0]
+        spec = importlib.util.spec_from_file_location(name, path)
+    if spec is None or spec.loader is None:
+        raise ImportError(f"cannot load user module from {path!r}")
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)

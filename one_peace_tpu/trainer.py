@@ -188,12 +188,15 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def state_dict(self) -> Dict[str, Any]:
-        return {
+        state = {
             "params": self.params,
             "opt_state": self.opt_state,
             "step": self.step,
             "rng": self._rng,
         }
+        if self.loss_scale is not None:
+            state["loss_scale"] = self.loss_scale
+        return state
 
     def load_state_dict(self, state):
         self.params = shard_params(self.mesh, state["params"])
@@ -204,6 +207,10 @@ class Trainer:
         self.step = int(state["step"])
         self._rng = jax.device_put(
             state["rng"], NamedSharding(self.mesh, P()))
+        if "loss_scale" in state and self.loss_scale is not None:
+            from .optim.loss_scaler import LossScaleState
+
+            self.loss_scale = LossScaleState(*jax.tree.leaves(state["loss_scale"]))
 
 
 def _masked(tx, mask) -> optax.GradientTransformation:
