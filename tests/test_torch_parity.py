@@ -112,3 +112,22 @@ def test_legacy_single_table_broadcast():
     rel = params["encoder_wrapper"]["text_adapter"]["rel_pos_table"]
     assert rel.shape[0] == cfg.encoder.layers
     np.testing.assert_array_equal(np.asarray(rel[0]), np.asarray(rel[1]))
+
+
+def test_alternate_attention_flags_parity():
+    """The non-released flag combo (scale_heads + post-attn LN, no magneto,
+    no layer scale) must also match torch — covers the c_attn and attn_ln
+    branches (ref multihead_attention.py:118-123, transformer_layer.py:
+    130,192)."""
+    cfg = tiny_model_config(head_type="val")
+    cfg.encoder.magneto_scale_attn = False
+    cfg.encoder.scale_attn = True
+    cfg.encoder.scale_heads = True
+    cfg.encoder.use_layer_scale = False
+    sd = tf.make_random_state_dict(cfg, seed=7)
+    model = OnePeaceRetrievalModel(cfg)
+    params = to_jax(convert_retrieval_model(sd, cfg))
+    tokens = np.array([[5, 6, 7, 1, 1], [8, 9, 10, 11, 12]])
+    want = tf.retrieval_forward(sd, cfg, "text", src_tokens=tokens).numpy()
+    got = np.asarray(model(params, src_tokens=jnp.asarray(tokens), encoder_type="text"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
