@@ -16,10 +16,8 @@ import argparse
 import logging
 import os
 import sys
-import time
 from typing import Optional
 
-import numpy as np
 
 logger = logging.getLogger("one_peace_tpu.train")
 

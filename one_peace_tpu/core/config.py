@@ -14,7 +14,6 @@ by every shipped YAML.
 from __future__ import annotations
 
 import copy
-import dataclasses
 from dataclasses import dataclass, field, fields, is_dataclass
 from typing import Any, Dict, List, Optional, Tuple
 

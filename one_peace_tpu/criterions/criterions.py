@@ -18,7 +18,6 @@ written over the global batch, which yields identical gradients
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

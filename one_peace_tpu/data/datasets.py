@@ -19,7 +19,6 @@ criterions/tasks see the same batch keys:
 
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

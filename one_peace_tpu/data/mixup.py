@@ -9,7 +9,7 @@ branch consumes (criterions.py ClassifyCriterion)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

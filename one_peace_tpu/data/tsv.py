@@ -9,7 +9,6 @@ separates multiple datasets).
 from __future__ import annotations
 
 import os
-import re
 from typing import List, Optional, Sequence
 
 

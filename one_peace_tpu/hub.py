@@ -25,8 +25,7 @@ from __future__ import annotations
 
 import math
 import os
-from functools import partial
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Behavioral specs:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -13,7 +13,7 @@ rel bias (layers, H, L, L).  The conv stack runs in fp32 via
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core.config import ImageAdapterConfig
 from ...utils.interpolate import bicubic_resize_matrix

@@ -19,7 +19,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core.config import TextAdapterConfig
 from ..components import dropout, layer_norm, normal_embedding, trunc_normal

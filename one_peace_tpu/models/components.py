@@ -17,7 +17,7 @@ Parameters are plain dicts.  Weights of dense layers are stored as
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.config import ModelConfig, decoder_default_config
+from ..core.config import ModelConfig
 from ..core.registry import MODELS
 from .components import init_linear, linear
 from .one_peace import ModelWrapper

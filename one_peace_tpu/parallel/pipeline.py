@@ -22,7 +22,6 @@ Works for any per-layer body with signature body(stacked_local, x) -> x
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -15,7 +15,7 @@ the reference's evaluation loops:
 from __future__ import annotations
 
 import json
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

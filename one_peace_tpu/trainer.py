@@ -23,12 +23,10 @@ with no_sync, trainer.py:724-742).
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -26,7 +26,6 @@ Layout conversions to the TPU-native parameter scheme:
 from __future__ import annotations
 
 import logging
-import re
 from typing import Any, Dict, Optional
 
 import numpy as np

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import signal
 import threading
-from typing import Any, Callable, Optional
+from typing import Optional
 
 
 class WatchdogTimeout(Exception):

@@ -14,7 +14,7 @@ prediction), the MSDeformAttnModule from vision/ms_deform_attn.py.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ segmentation heads.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
