@@ -370,7 +370,8 @@ class AqaDataset(BaseDataset):
 class ImageClassifyDataset(BaseDataset):
     """ImageNet finetuning (ref vision_data/image_classify_dataset.py).
     Training uses the reference's raw_transform pipeline: resize +
-    distortion + blur + flip + RandAugment (mixup/cutmix: TODO)."""
+    distortion + blur + flip + RandAugment; batch-level mixup/cutmix is
+    applied by the image_classify task iterator (tasks.py)."""
 
     def __init__(self, split, table, tokenizer, dataset_dir="",
                  patch_image_size=384, seed=3407, **_unused):
