@@ -131,3 +131,28 @@ def test_alternate_attention_flags_parity():
     want = tf.retrieval_forward(sd, cfg, "text", src_tokens=tokens).numpy()
     got = np.asarray(model(params, src_tokens=jnp.asarray(tokens), encoder_type="text"))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_layer_by_layer_diff_harness(setup):
+    """Per-layer hidden states must track torch layer-by-layer (the drift
+    harness from SURVEY.md §7), and the harness localizes divergence."""
+    from one_peace_tpu.utils.diff_harness import diff_layer_states, first_divergence
+
+    cfg, sd, model, params = setup
+    tokens = np.array([[5, 6, 7, 1, 1]])
+    # torch per-layer states
+    x, pad, biases = tf.text_adapter_forward(sd, cfg, tokens)
+    want = tf.encoder_layer_states(sd, cfg, x, pad, biases, "text",
+                                   (x.shape[1], 0, 0))
+    # jax per-layer states
+    wrapper = model.wrapper
+    tp = params["encoder_wrapper"]
+    xj, padj, biasj = wrapper.text_adapter(
+        tp["text_adapter"], jnp.asarray(tokens))
+    out, hiddens = wrapper.fusion(
+        tp["fusion"], xj, padj, biasj, "text", (xj.shape[1], 0, 0),
+        return_all_hiddens=True)
+    got = [np.asarray(hiddens[i]) for i in range(cfg.encoder.layers)]
+    report = diff_layer_states(got, [w.numpy() for w in want])
+    assert first_divergence(report) is None, report
+    assert all(r["cosine"] > 1 - 1e-6 for r in report)
