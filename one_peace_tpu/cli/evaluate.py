@@ -35,6 +35,8 @@ def main(argv: Optional[list] = None) -> int:
 
     task = build_task(cfg.task, cfg)
     cfg.model.encoder.text_adapter.vocab_size = len(task.dictionary)
+    cfg.model.head_type = cfg.task.head_type
+    cfg.model.encoder.image_adapter.rel_bucket_size = cfg.task.patch_image_size // 16
     hub = from_pretrained(
         args.path, model_type=cfg.model._name,
         dtype="bf16" if cfg.common.bf16 else "float32",
