@@ -136,3 +136,39 @@ def test_audio_fixed_pos_type():
                       mask_token=jnp.asarray(mask_token))
     assert x.shape == (1, seq_len, cfg.embed_dim)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_adapter_config_variants():
+    """Config branches off the released path: layernorm_embedding,
+    add_type_embedding, shrink_alpha, conv_pos_pre_ln."""
+    cfg = tiny_encoder_config()
+    cfg.text_adapter.layernorm_embedding = True
+    cfg.text_adapter.add_type_embedding = True
+    cfg.text_adapter.shrink_alpha = 0.5
+    cfg.image_adapter.layernorm_embedding = True
+    cfg.image_adapter.add_type_embedding = True
+    cfg.audio_adapter.conv_pos_pre_ln = True
+    cfg.audio_adapter.layernorm_embedding = True
+    wrapper = ModelWrapper(cfg)
+    params = wrapper.init(jax.random.PRNGKey(0))
+    assert "layernorm_embedding" in params["text_adapter"]
+    assert "type_embedding" in params["text_adapter"]
+    assert "pos_pre_ln" in params["audio_adapter"]
+
+    tokens = jnp.array([[5, 6, 7, 1]])
+    images = jnp.asarray(np.random.RandomState(0).randn(1, 3, 32, 32), jnp.float32)
+    text_f, image_f, _ = wrapper(params, src_tokens=tokens, src_images=images,
+                                 encoder_type="vl")
+    assert np.isfinite(np.asarray(text_f)).all()
+    src_audios, pad = _audio_inputs(cfg, 1, 64)
+    _, _, audio_f = wrapper(params, src_audios=src_audios,
+                            audio_padding_masks=pad, encoder_type="audio")
+    assert np.isfinite(np.asarray(audio_f)).all()
+
+    # second-image type embedding (NLVR2 path)
+    _, image_f2, _ = wrapper(params, src_images=images, encoder_type="image",
+                             is_second_image=True)
+    # type_embedding_2 initialized to zeros -> same output as first image
+    _, image_f1, _ = wrapper(params, src_images=images, encoder_type="image")
+    np.testing.assert_allclose(np.asarray(image_f1), np.asarray(image_f2),
+                               rtol=1e-5, atol=1e-6)
