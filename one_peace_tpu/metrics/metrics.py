@@ -134,3 +134,37 @@ class MAP:
         targets = np.concatenate(self.targets)
         ap = average_precision_score(targets, preds, average=None)
         return {"map": 100.0 * float(np.mean(ap)), "count": len(targets)}
+
+
+class MIoU:
+    """Semantic-segmentation mean IoU over a fixed class count (the ADE20K
+    metric of the reference's seg app; ignore_index pixels excluded)."""
+
+    def __init__(self, num_classes: int, ignore_index: int = 255):
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+
+    def initialize(self):
+        n = self.num_classes
+        self.intersection = np.zeros(n, np.int64)
+        self.union = np.zeros(n, np.int64)
+
+    def compute(self, pred: np.ndarray, target: np.ndarray):
+        """pred/target: integer label maps of identical shape."""
+        pred = np.asarray(pred).ravel()
+        target = np.asarray(target).ravel()
+        valid = target != self.ignore_index
+        pred, target = pred[valid], target[valid]
+        for c in range(self.num_classes):
+            p = pred == c
+            t = target == c
+            self.intersection[c] += np.logical_and(p, t).sum()
+            self.union[c] += np.logical_or(p, t).sum()
+
+    def merge_results(self) -> Dict:
+        present = self.union > 0
+        iou = np.zeros(self.num_classes, np.float64)
+        iou[present] = self.intersection[present] / self.union[present]
+        miou = float(iou[present].mean()) if present.any() else 0.0
+        return {"miou": 100.0 * miou,
+                "acc_classes": int(present.sum())}

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from helpers import tiny_encoder_config
 
@@ -84,3 +85,44 @@ def test_adapter_backbone_end_to_end():
     hp = head.init(jax.random.PRNGKey(1))
     logits = head(hp, feats)
     assert logits.shape == (1, 16, 16, 5)
+
+
+def test_miou_metric():
+    from one_peace_tpu.metrics import MIoU
+
+    m = MIoU(num_classes=3)
+    m.initialize()
+    pred = np.array([[0, 0], [1, 2]])
+    target = np.array([[0, 1], [1, 255]])  # one ignored pixel
+    m.compute(pred, target)
+    out = m.merge_results()
+    # class0: i=1 u=2 (pred 2, tgt 1, overlap 1); class1: i=1 u=2; class2 absent in tgt&pred-valid: pred has c2 at ignored pixel -> excluded
+    assert out["miou"] == pytest.approx(100 * (0.5 + 0.5) / 2)
+
+
+def test_seg_end_to_end_miou():
+    """Backbone -> UperNet -> argmax -> mIoU: the full seg eval flow."""
+    import jax
+
+    from one_peace_tpu.metrics import MIoU
+    from one_peace_tpu.vision.backbone import VisionBackbone
+    from one_peace_tpu.vision.upernet import UperNetHead
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    bb = VisionBackbone(cfg)
+    bparams = bb.init(jax.random.PRNGKey(0))
+    head = UperNetHead([cfg.embed_dim] * 4, channels=16, num_classes=5)
+    hparams = head.init(jax.random.PRNGKey(1))
+
+    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32)
+    pyr = bb.pyramid(bparams, imgs)
+    logits = head(hparams, [pyr["p4"], pyr["p8"], pyr["p16"], pyr["p32"]])
+    pred = np.asarray(logits).argmax(-1)
+    metric = MIoU(num_classes=5)
+    metric.initialize()
+    target = np.random.RandomState(1).randint(0, 5, pred.shape)
+    metric.compute(pred, target)
+    out = metric.merge_results()
+    assert 0.0 <= out["miou"] <= 100.0
