@@ -168,3 +168,91 @@ class MIoU:
         miou = float(iou[present].mean()) if present.any() else 0.0
         return {"miou": 100.0 * miou,
                 "acc_classes": int(present.sum())}
+
+
+class DetectionAP:
+    """COCO-style average precision over IoU thresholds .5:.05:.95
+    (the detection app's metric).  Single-machine accumulation of
+    per-image detections and ground truths."""
+
+    def __init__(self, num_classes: int,
+                 iou_thresholds: Optional[List[float]] = None):
+        self.num_classes = num_classes
+        self.thresholds = iou_thresholds or [0.5 + 0.05 * i for i in range(10)]
+
+    def initialize(self):
+        self.dets: List[Dict] = []
+        self.gts: List[Dict] = []
+
+    def compute(self, det_boxes, det_scores, det_labels, gt_boxes, gt_labels):
+        self.dets.append({"boxes": np.asarray(det_boxes, np.float64),
+                          "scores": np.asarray(det_scores, np.float64),
+                          "labels": np.asarray(det_labels)})
+        self.gts.append({"boxes": np.asarray(gt_boxes, np.float64),
+                         "labels": np.asarray(gt_labels)})
+
+    @staticmethod
+    def _iou_matrix(a, b):
+        if len(a) == 0 or len(b) == 0:
+            return np.zeros((len(a), len(b)))
+        lt = np.maximum(a[:, None, :2], b[None, :, :2])
+        rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+        wh = np.clip(rb - lt, 0, None)
+        inter = wh[..., 0] * wh[..., 1]
+        area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+        area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+        return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+    def _ap_for(self, cls: int, thr: float) -> Optional[float]:
+        scores, matches = [], []
+        n_gt = 0
+        for det, gt in zip(self.dets, self.gts):
+            gmask = gt["labels"] == cls
+            gboxes = gt["boxes"][gmask]
+            n_gt += len(gboxes)
+            dmask = det["labels"] == cls
+            dboxes = det["boxes"][dmask]
+            dscores = det["scores"][dmask]
+            order = np.argsort(-dscores)
+            dboxes, dscores = dboxes[order], dscores[order]
+            iou = self._iou_matrix(dboxes, gboxes)
+            taken = np.zeros(len(gboxes), bool)
+            for i in range(len(dboxes)):
+                scores.append(dscores[i])
+                j = int(iou[i].argmax()) if len(gboxes) else -1
+                if j >= 0 and iou[i, j] >= thr and not taken[j]:
+                    taken[j] = True
+                    matches.append(1)
+                else:
+                    matches.append(0)
+        if n_gt == 0:
+            return None
+        if not scores:
+            return 0.0
+        order = np.argsort(-np.asarray(scores))
+        tp = np.asarray(matches)[order]
+        cum_tp = np.cumsum(tp)
+        precision = cum_tp / (np.arange(len(tp)) + 1)
+        recall = cum_tp / n_gt
+        # 101-point interpolation (COCO)
+        ap = 0.0
+        for r in np.linspace(0, 1, 101):
+            p = precision[recall >= r]
+            ap += float(p.max()) if len(p) else 0.0
+        return ap / 101
+
+    def merge_results(self) -> Dict:
+        aps_all, aps_50 = [], []
+        for c in range(self.num_classes):
+            per_thr = [self._ap_for(c, t) for t in self.thresholds]
+            per_thr = [a for a in per_thr if a is not None]
+            if per_thr:
+                aps_all.append(float(np.mean(per_thr)))
+            a50 = self._ap_for(c, 0.5)
+            if a50 is not None:
+                aps_50.append(a50)
+        return {
+            "ap": 100.0 * float(np.mean(aps_all)) if aps_all else 0.0,
+            "ap50": 100.0 * float(np.mean(aps_50)) if aps_50 else 0.0,
+            "classes_with_gt": len(aps_all),
+        }

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from helpers import tiny_encoder_config
 
@@ -62,3 +63,48 @@ def test_fcos_detection_head():
     labels = np.array([0, 0, 1])
     keep = batched_nms(boxes, scores, labels)
     assert set(keep.tolist()) == {0, 2}
+
+
+def test_detection_ap_metric():
+    from one_peace_tpu.metrics import DetectionAP
+
+    m = DetectionAP(num_classes=2)
+    m.initialize()
+    # perfect detection for class 0; a miss for class 1
+    m.compute(det_boxes=np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32),
+              det_scores=np.array([0.9, 0.8], np.float32),
+              det_labels=np.array([0, 1]),
+              gt_boxes=np.array([[0, 0, 10, 10], [100, 100, 110, 110]], np.float32),
+              gt_labels=np.array([0, 1]))
+    out = m.merge_results()
+    assert out["ap50"] == pytest.approx(50.0, abs=1.0)  # class0 perfect, class1 zero
+    assert 0.0 <= out["ap"] <= out["ap50"] + 1e-6
+
+
+def test_detection_end_to_end_ap():
+    """Backbone pyramid -> FCOS head -> decode -> AP: the full det flow."""
+    from helpers import tiny_encoder_config
+    from one_peace_tpu.metrics import DetectionAP
+    from one_peace_tpu.vision.backbone import VisionBackbone
+    from one_peace_tpu.vision.detection import FCOSHead
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    bb = VisionBackbone(cfg)
+    bparams = bb.init(jax.random.PRNGKey(0))
+    head = FCOSHead(in_channels=cfg.embed_dim, num_classes=3, channels=16,
+                    num_convs=2, strides=(8, 16))
+    hparams = head.init(jax.random.PRNGKey(1))
+
+    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32)
+    pyr = bb.pyramid(bparams, imgs)
+    outs = head(hparams, [pyr["p8"], pyr["p16"]])
+    dets = head.decode(outs, score_thresh=0.0, max_dets=20)
+    metric = DetectionAP(num_classes=3)
+    metric.initialize()
+    metric.compute(dets[0]["boxes"], dets[0]["scores"], dets[0]["labels"],
+                   gt_boxes=np.array([[8, 8, 24, 24]], np.float32),
+                   gt_labels=np.array([0]))
+    out = metric.merge_results()
+    assert 0.0 <= out["ap"] <= 100.0
