@@ -40,3 +40,23 @@ def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1,
 def local_batch_axes() -> tuple:
     """Axes the global batch is sharded over (data axes)."""
     return ("dp", "fsdp")
+
+
+def initialize_multihost(coordinator_address: str = None,
+                         num_processes: int = None,
+                         process_id: int = None) -> None:
+    """Multi-host (DCN) bootstrap — the counterpart of the reference's
+    distributed_init (ref fairseq/distributed/utils.py:240-315), reduced
+    to one call: jax.distributed wires the hosts, after which
+    ``jax.devices()`` spans the pod/slice and the same mesh + sharding
+    code runs unchanged (collectives ride ICI within a slice, DCN across).
+
+    On Cloud TPU the arguments are auto-detected from the environment;
+    pass them explicitly elsewhere."""
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -108,3 +108,29 @@ def test_detection_end_to_end_ap():
                    gt_labels=np.array([0]))
     out = metric.merge_results()
     assert 0.0 <= out["ap"] <= 100.0
+
+
+def test_roi_align():
+    from one_peace_tpu.vision.roi_align import roi_align
+
+    # constant feature map: pooled values must equal the constant
+    feat = jnp.full((1, 16, 16, 4), 3.0)
+    rois = jnp.asarray([[2.0, 2.0, 10.0, 10.0]])
+    out = roi_align(feat, rois, jnp.array([0]), output_size=7)
+    assert out.shape == (1, 7, 7, 4)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-6)
+
+    # linear ramp in x: pooled bins must increase linearly with bin center
+    xs = np.arange(16, dtype=np.float32)
+    ramp = np.tile(xs[None, :, None], (16, 1, 1))[None]  # (1,16,16,1)
+    out = roi_align(jnp.asarray(ramp), jnp.asarray([[0.0, 0.0, 16.0, 16.0]]),
+                    jnp.array([0]), output_size=4, sampling_ratio=2)
+    col_means = np.asarray(out)[0, 0, :, 0]
+    # bin centers at x = 2, 6, 10, 14 -> pixel-center coords 1.5, 5.5, ...
+    np.testing.assert_allclose(col_means, [1.5, 5.5, 9.5, 13.5], atol=1e-5)
+
+    # batch routing: roi on image 1 reads image 1's features
+    two = jnp.concatenate([jnp.zeros((1, 8, 8, 1)), jnp.ones((1, 8, 8, 1))])
+    out = roi_align(two, jnp.asarray([[1.0, 1.0, 7.0, 7.0]]), jnp.array([1]),
+                    output_size=2)
+    np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
