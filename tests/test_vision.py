@@ -134,3 +134,38 @@ def test_roi_align():
     out = roi_align(two, jnp.asarray([[1.0, 1.0, 7.0, 7.0]]), jnp.array([1]),
                     output_size=2)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
+
+
+def test_cascade_rcnn_inference():
+    """Backbone -> proposals -> cascade box refinement -> decode."""
+    from helpers import tiny_encoder_config
+    from one_peace_tpu.vision.backbone import VisionBackbone
+    from one_peace_tpu.vision.cascade_rcnn import CascadeBoxHead, apply_deltas
+
+    # delta math: zero deltas keep boxes; positive dw grows width
+    boxes = jnp.asarray([[10.0, 10.0, 30.0, 30.0]])
+    out = apply_deltas(boxes, jnp.zeros((1, 4)), (10, 10, 5, 5))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(boxes), atol=1e-5)
+    grown = apply_deltas(boxes, jnp.asarray([[0.0, 0.0, 5.0 * np.log(2.0), 0.0]]),
+                         (10, 10, 5, 5))
+    assert np.asarray(grown)[0, 2] - np.asarray(grown)[0, 0] == pytest.approx(40.0, rel=1e-5)
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    bb = VisionBackbone(cfg)
+    bparams = bb.init(jax.random.PRNGKey(0))
+    head = CascadeBoxHead(in_channels=cfg.embed_dim, num_classes=3,
+                          pooled_size=4, fc_dim=32, spatial_scale=1 / 16)
+    hparams = head.init(jax.random.PRNGKey(1))
+
+    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32)
+    f16 = bb(bparams, imgs)  # (1, 4, 4, D)
+    proposals = jnp.asarray([[4.0, 4.0, 40.0, 40.0], [8.0, 16.0, 56.0, 48.0]])
+    scores, boxes = head(hparams, f16, proposals, jnp.array([0, 0]))
+    assert scores.shape == (2, 4)  # 3 classes + background
+    np.testing.assert_allclose(np.asarray(scores).sum(-1), 1.0, rtol=1e-4)
+    assert boxes.shape == (2, 4)
+    dets = head.decode(scores, boxes, score_thresh=0.0)
+    assert dets["boxes"].shape[1] == 4
+    assert len(dets["scores"]) > 0
