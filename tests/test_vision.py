@@ -169,3 +169,57 @@ def test_cascade_rcnn_inference():
     dets = head.decode(scores, boxes, score_thresh=0.0)
     assert dets["boxes"].shape[1] == 4
     assert len(dets["scores"]) > 0
+
+
+def test_cascade_training_loss_and_mask_head():
+    from helpers import tiny_encoder_config
+    from one_peace_tpu.vision.backbone import VisionBackbone
+    from one_peace_tpu.vision.cascade_rcnn import (
+        CascadeBoxHead, MaskHead, boxes_iou, cascade_box_loss, encode_deltas,
+        apply_deltas, STAGE_DELTA_WEIGHTS)
+    import jax
+
+    # encode/apply roundtrip
+    b = jnp.asarray([[10.0, 10.0, 30.0, 40.0]])
+    t = jnp.asarray([[12.0, 8.0, 36.0, 38.0]])
+    d = encode_deltas(b, t, STAGE_DELTA_WEIGHTS[0])
+    np.testing.assert_allclose(
+        np.asarray(apply_deltas(b, d, STAGE_DELTA_WEIGHTS[0])),
+        np.asarray(t), rtol=1e-4)
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    bb = VisionBackbone(cfg)
+    bparams = bb.init(jax.random.PRNGKey(0))
+    head = CascadeBoxHead(in_channels=cfg.embed_dim, num_classes=3,
+                          pooled_size=4, fc_dim=32)
+    hparams = head.init(jax.random.PRNGKey(1))
+
+    imgs = jnp.asarray(np.random.RandomState(0).randn(1, 3, 64, 64), jnp.float32)
+    f16 = bb(bparams, imgs)
+    proposals = jnp.asarray([[4.0, 4.0, 40.0, 40.0], [0.0, 0.0, 60.0, 60.0],
+                             [50.0, 50.0, 60.0, 60.0]])
+    gt_boxes = jnp.asarray([[6.0, 6.0, 38.0, 38.0], [0.0, 0.0, 1.0, 1.0]])
+    gt_labels = jnp.asarray([1, 0])
+    gt_valid = jnp.asarray([True, False])  # second GT is padding
+
+    def loss_fn(p):
+        loss, m = cascade_box_loss(head, p, f16, proposals,
+                                   jnp.array([0, 0, 0]), gt_boxes, gt_labels,
+                                   gt_valid)
+        return loss, m
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(hparams)
+    assert np.isfinite(float(loss))
+    import optax
+
+    assert float(optax.global_norm(grads)) > 0
+    assert 0.0 <= float(metrics["stage0_fg"]) <= 1.0
+
+    mask_head = MaskHead(in_channels=cfg.embed_dim, num_classes=3,
+                         channels=8, pooled_size=4)
+    mparams = mask_head.init(jax.random.PRNGKey(2))
+    masks = mask_head(mparams, f16, proposals, jnp.array([0, 0, 0]))
+    assert masks.shape == (3, 8, 8, 3)
+    assert np.isfinite(np.asarray(masks)).all()
