@@ -97,3 +97,19 @@ class UperNetHead:
         outs = [_resize(o, h0, w0) for o in outs]
         fused = _conv_gn_relu(params["fuse"], jnp.concatenate(outs, axis=-1))
         return conv2d(params["classifier"], fused, stride=1, padding="SAME")
+
+
+def seg_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                      ignore_index: int = 255) -> jnp.ndarray:
+    """Pixel-wise CE with ignore label, logits upsampled to label size —
+    the UperNet training objective (mmseg decode-head loss)."""
+    b, h, w, c = logits.shape
+    lh, lw = labels.shape[1:3]
+    if (h, w) != (lh, lw):
+        logits = jax.image.resize(logits, (b, lh, lw, c), "bilinear")
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lp, safe[..., None], axis=-1)[..., 0]
+    vf = valid.astype(jnp.float32)
+    return jnp.sum(nll * vf) / jnp.maximum(vf.sum(), 1.0)

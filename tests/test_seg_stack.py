@@ -126,3 +126,24 @@ def test_seg_end_to_end_miou():
     metric.compute(pred, target)
     out = metric.merge_results()
     assert 0.0 <= out["miou"] <= 100.0
+
+
+def test_seg_cross_entropy_trains():
+    from one_peace_tpu.vision.upernet import UperNetHead, seg_cross_entropy
+    import jax
+    import optax
+
+    head = UperNetHead([16] * 4, channels=8, num_classes=4)
+    params = head.init(jax.random.PRNGKey(0))
+    rs = np.random.RandomState(0)
+    feats = [jnp.asarray(rs.randn(1, s, s, 16), jnp.float32) for s in (8, 4, 2, 1)]
+    labels = rs.randint(0, 4, (1, 32, 32))
+    labels[0, :4] = 255  # ignored band
+
+    def loss_fn(p):
+        logits = head(p, feats)
+        return seg_cross_entropy(logits, jnp.asarray(labels))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    assert float(optax.global_norm(grads)) > 0
