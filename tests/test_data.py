@@ -242,3 +242,29 @@ def test_edit_distance_native():
     np.testing.assert_array_equal(d, [1, 1])
     align = edit_alignment([1, 2, 3], [1, 9, 3])
     assert align == [0, 1, 2]
+
+
+def test_hinge_and_refcoco_losses():
+    import jax.numpy as jnp
+
+    from one_peace_tpu.criterions.losses import hinge_loss, refcoco_loss
+
+    # hinge: positive logit must exceed others by the margin
+    logits = jnp.asarray([[3.0, 0.0, 0.0, 0.0], [0.0, 0.5, 0.0, 0.0]])
+    targets = jnp.asarray([0, 1])
+    loss, ncorrect = hinge_loss(logits, targets, margin=1.0)
+    # row 0: all others at 3 below positive -> only self term max(0,1)=1... wait
+    # per reference the sum includes the positive column: max(0, 1 + l - l) = 1
+    # row 0 others: max(0, 1 + 0 - 3) = 0 each -> total 1
+    # row 1: positive 0.5; others at 0 -> max(0, 1 - 0.5) = 0.5 x3; self 1
+    assert float(loss) == pytest.approx(1.0 + 1.0 + 1.5)
+    assert int(ncorrect) == 2
+
+    # refcoco: perfect prediction leaves only the self-GIoU term (= 0)
+    pred = jnp.asarray([[0.1, 0.1, 0.6, 0.6]])
+    loss = refcoco_loss(pred, pred, nsentences=1)
+    assert float(loss) == pytest.approx(0.0, abs=1e-5)
+    # degenerate box (x1 <= x0) is excluded from the GIoU term
+    bad = jnp.asarray([[0.6, 0.6, 0.1, 0.1]])
+    loss_bad = refcoco_loss(bad, pred, nsentences=1)
+    assert np.isfinite(float(loss_bad))
