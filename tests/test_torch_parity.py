@@ -156,3 +156,41 @@ def test_layer_by_layer_diff_harness(setup):
     report = diff_layer_states(got, [w.numpy() for w in want])
     assert first_divergence(report) is None, report
     assert all(r["cosine"] > 1 - 1e-6 for r in report)
+
+
+def test_attention_pooling_matches_torch():
+    """MultiheadAttentionPooling (ref one_peace_base.py:146-172): single
+    query, no scaling, padding masked."""
+    import torch
+    import torch.nn.functional as F
+
+    from one_peace_tpu.models.one_peace import (
+        attention_pooling, init_attention_pooling)
+
+    d, heads, b, l = 16, 4, 2, 5
+    params = init_attention_pooling(jax.random.PRNGKey(0), d, heads)
+    x = np.random.RandomState(0).randn(b, l, d).astype(np.float32)
+    pad = np.zeros((b, l), bool)
+    pad[1, -2:] = True
+    got = np.asarray(attention_pooling(
+        params, jnp.asarray(x), jnp.asarray(pad), heads))
+
+    # torch re-derivation
+    hd = d // heads
+    xt = torch.tensor(x).transpose(0, 1)  # (L, B, D) like the reference
+    k_w = torch.tensor(np.asarray(params["k_proj"]["w"])).T
+    v_w = torch.tensor(np.asarray(params["v_proj"]["w"])).T
+    v_b = torch.tensor(np.asarray(params["v_proj"]["b"]))
+    o_w = torch.tensor(np.asarray(params["out_proj"]["w"])).T
+    o_b = torch.tensor(np.asarray(params["out_proj"]["b"]))
+    q = torch.tensor(np.asarray(params["q"]))
+    q = q.expand(1, b, -1, -1).reshape(1, b * heads, hd).transpose(0, 1)
+    k = F.linear(xt, k_w).view(l, b * heads, hd).transpose(0, 1)
+    v = F.linear(xt, v_w, v_b).view(l, b * heads, hd).transpose(0, 1)
+    attn_w = torch.bmm(q, k.transpose(1, 2)).view(b, heads, 1, l)
+    attn_w = attn_w.masked_fill(torch.tensor(pad).view(b, 1, 1, l), float("-inf"))
+    probs = F.softmax(attn_w.float(), dim=-1).view(b * heads, 1, l)
+    attn = torch.bmm(probs, v).reshape(b, d)
+    want = F.linear(attn, o_w, o_b).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
