@@ -57,11 +57,10 @@ def fetch(x):
 
 
 def main():
-    # measured on v5e: XLA fused attention currently edges out the Pallas
-    # kernel at these sequence lengths (111 vs 105 img/s @ B=32); keep XLA
-    # as the default until the kernel wins
+    # the v2 transpose-free lane-packed Pallas kernel beats XLA on the
+    # 8-layer proxy (fwd 644 vs 576 img/s, train 153 vs 129) -> default
     cfg = ModelConfig(head_type="val")
-    cfg.encoder.attn_impl = os.environ.get("BENCH_ATTN", "xla")
+    cfg.encoder.attn_impl = os.environ.get("BENCH_ATTN", "pallas")
     model = OnePeaceRetrievalModel(cfg)
 
     t0 = time.time()

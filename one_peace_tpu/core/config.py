@@ -116,8 +116,9 @@ class EncoderConfig:
     layerdrop: float = 0.0
     checkpoint_activations: bool = False
 
-    # attention implementation: 'pallas' (fused flash kernel) or 'xla'
-    attn_impl: str = "xla"
+    # attention implementation: 'pallas' (fused flash kernel; falls back
+    # to XLA off-TPU or under a multi-device mesh) or 'xla'
+    attn_impl: str = "pallas"
 
 
 @dataclass

@@ -101,7 +101,7 @@ def from_pretrained(
     bpe_dir: Optional[str] = None,
     model_cfg: Optional[ModelConfig] = None,
     task_cfg: Optional[TaskConfig] = None,
-    attn_impl: str = "xla",
+    attn_impl: str = "pallas",
     num_classes: Optional[int] = None,
     classify_kwargs: Optional[dict] = None,
 ) -> "OnePeaceHubInterface":

@@ -53,6 +53,16 @@ def _combine_bias(
     return bias
 
 
+def _pallas_supported() -> bool:
+    """The fused kernel needs a real TPU backend; under a multi-device mesh
+    pallas_call has no SPMD partitioning rule yet, so pjit graphs fall back
+    to the XLA path (single-chip serving/bench take the kernel)."""
+    try:
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    except Exception:  # backend not initialized yet
+        return False
+
+
 @partial(jax.jit, static_argnames=("scaling", "impl"))
 def multihead_attention(
     q: jnp.ndarray,
@@ -61,7 +71,7 @@ def multihead_attention(
     rel_bias: Optional[jnp.ndarray],
     key_padding_mask: Optional[jnp.ndarray],
     scaling: float,
-    impl: str = "xla",
+    impl: str = "pallas",
 ) -> jnp.ndarray:
     """Softmax attention with additive relative-position bias.
 
@@ -70,9 +80,9 @@ def multihead_attention(
       rel_bias: (H, L, L) or (B, H, L, L) additive bias, or None
       key_padding_mask: (B, L) bool, True at padding positions, or None
       scaling: query scale (head_dim ** -0.5)
-      impl: 'xla' | 'pallas'
+      impl: 'pallas' (fused kernel where supported, XLA otherwise) | 'xla'
     """
-    if impl == "pallas":
+    if impl == "pallas" and _pallas_supported():
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v, rel_bias, key_padding_mask, scaling)

@@ -1,25 +1,33 @@
-"""Fused bias-aware attention kernel (Pallas / Mosaic TPU).
+"""Fused bias-aware attention kernels (Pallas / Mosaic TPU), fwd + bwd.
 
 Replaces the reference's xFormers ``memory_efficient_attention`` + the
 materialized per-layer ``(B, heads, L, L)`` rel-pos bias
 (ref: multihead_attention.py:79-101, transformer_encoder.py:144-162).
 
-Design notes (ONE-PEACE sequence lengths are short — text ~72, image 257
-(256px) / 577 (384px), audio <= 752, VL concat <= 850):
+Design (v2 — transpose-free, lane-packed):
 
-- grid = (B, H, ceil(L/BLK_Q)); each program holds one query tile and the
-  *entire* K/V for its (batch, head) in VMEM (worst case ~850x64 bf16
-  ~ 110 KB each — far under the 16 MB VMEM budget).  No K-loop / online
-  softmax needed at these lengths; the win over XLA is never touching a
-  (B, H, L, L) HBM tensor and fusing bias + mask + softmax in one pass.
-- logits/softmax accumulate in fp32 on the VPU; both matmuls hit the MXU
-  with ``preferred_element_type=jnp.float32``.
-- the rel-pos bias arrives batch-independent (H, L, L) — or batched
-  (B, H, L, L) for the masked-pretraining path — and the key-padding mask
-  as an additive (B, L) fp32 row; both are tiled straight into VMEM.
-- backward: ``jax.custom_vjp`` recomputes attention with the plain XLA
-  einsum formulation, so gradients (including d(bias) -> the rel-pos
-  tables) are exact while the forward still avoids materializing biases.
+- q/k/v stay in their native ``(B, L, H*Dh)`` layout straight from the qkv
+  projections; heads are addressed as 128-lane slices.  The v1 kernel's four
+  HBM round-trip transposes to (B, H, L, D) — which ate the entire fusion
+  win — are gone.
+- heads are packed ``m`` per program so the lane-block ``m*Dh`` is a
+  multiple of 128 (m=2 for ONE-PEACE's Dh=64); if no divisor of H aligns,
+  the block covers all heads (full last axis is always legal).
+- grid is ``(H/m, Lq-tiles, B)`` with **batch innermost**: the rel-pos bias
+  block's index map is batch-invariant, so Mosaic keeps it resident in VMEM
+  and fetches each bias tile exactly once per (head, q-tile) — total bias
+  traffic is (H, L, L) once per layer instead of once per batch item.
+- ONE-PEACE sequence lengths are short (text ~72, image 257/577, audio
+  <= 752, VL concat <= 850): the whole padded K/V fits in VMEM, so there is
+  no K-loop / online softmax; logits/softmax run in fp32 on the VPU, both
+  matmuls hit the MXU with fp32 accumulation, and the (B, H, L, L) logits
+  never touch HBM.
+- backward is a second Pallas kernel with the same layout: it recomputes
+  the softmax (flash-style), produces dq/dk/dv without materializing
+  probabilities in HBM, and **accumulates d(bias) in VMEM across the
+  batch-innermost grid** (the (H, L, L) cotangent the rel-pos tables need).
+  Shapes whose backward would overflow VMEM fall back to the XLA einsum
+  vjp (still exact, just materializing).
 """
 
 from __future__ import annotations
@@ -33,126 +41,307 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEFAULT_BLK_Q = 256
+_BWD_VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def _make_kernel(scaling: float, has_bias: bool, bias_batched: bool):
-    def kernel(q_ref, k_ref, v_ref, bias_ref, kbias_ref, out_ref):
-        q = q_ref[0, 0]  # (BLK_Q, D)
-        k = k_ref[0, 0]  # (L, D)
-        v = v_ref[0, 0]  # (L, D)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scaling
-        if has_bias:
-            bias = bias_ref[0, 0] if bias_batched else bias_ref[0]
-            s = s + bias.astype(jnp.float32)
-        # kbias ref holds the full (B, L) array; take this program's row
-        row = kbias_ref[pl.ds(pl.program_id(0), 1), :]
-        s = s + row.astype(jnp.float32)  # (1, L) broadcasts over rows
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v.dtype)
-        out = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        out_ref[0, 0] = out.astype(out_ref.dtype)
+import os
+
+_HPACK = int(os.environ.get("ONE_PEACE_ATTN_HPACK", "0"))
+
+
+def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
+                       bias_block_bytes: int = 0) -> int:
+    """Divisor m of h with (m*dh) % 128 == 0 and m*dh nearest target_lanes,
+    else all heads (full last axis is always a legal block).
+
+    The forward prefers wider blocks (~384 lanes: contiguous 768-byte DMA
+    rows, fewer programs — measured +4% over 128 lanes on the proxy); the
+    backward stays minimal because its per-program VMEM carries two
+    (m, L, L) fp32 bias blocks."""
+    if _HPACK and h % _HPACK == 0 and (_HPACK * dh) % 128 == 0:
+        return _HPACK
+    valid = [m for m in range(1, h + 1)
+             if h % m == 0 and (m * dh) % 128 == 0]
+    if bias_block_bytes:
+        # keep the double-buffered per-program bias under ~8 MB of VMEM
+        fits = [m for m in valid if m * bias_block_bytes <= 8 * 1024 * 1024]
+        valid = fits or valid[:1]
+    if not valid:
+        return h
+    return min(valid, key=lambda m: abs(m * dh - target_lanes))
+
+
+def _pick_blk_q(lpad: int) -> int:
+    if lpad <= 512:
+        return lpad
+    return max(blk for blk in (512, 384, 256, 128) if lpad % blk == 0)
+
+
+def _pad_inputs(q, k, v, rel_bias, key_bias):
+    """Pad L to the 128-lane grain; -inf the key bias at padded columns."""
+    b, l, hd = q.shape
+    lpad = -(-l // 128) * 128
+    if lpad != l:
+        q = jnp.pad(q, ((0, 0), (0, lpad - l), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, lpad - l), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, lpad - l), (0, 0)))
+        key_bias = jnp.pad(key_bias, ((0, 0), (0, lpad - l)),
+                           constant_values=NEG_INF)
+        if rel_bias is not None:
+            pad = [(0, 0)] * (rel_bias.ndim - 2) + [(0, lpad - l), (0, lpad - l)]
+            rel_bias = jnp.pad(rel_bias, pad)
+    return q, k, v, rel_bias, key_bias, lpad
+
+
+def _bias_spec(bias_batched: bool, has_bias: bool, m: int, blk_q: int,
+               lpad: int, ngrid: int):
+    """BlockSpec for the rel-pos bias under a (H/m, nq, B) [ngrid=3] or
+    (H/m, B) [ngrid=2] grid.  The index map is batch-invariant for the
+    shared (H, L, L) bias, so the block is fetched once per (head, q-tile)."""
+    if not has_bias:
+        if ngrid == 3:
+            return pl.BlockSpec((1, 8, 128), lambda hi, qi, bi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 8, 128), lambda hi, bi: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if bias_batched:
+        if ngrid == 3:
+            return pl.BlockSpec((1, m, blk_q, lpad),
+                                lambda hi, qi, bi: (bi, hi, qi, 0),
+                                memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, m, blk_q, lpad),
+                            lambda hi, bi: (bi, hi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if ngrid == 3:
+        return pl.BlockSpec((m, blk_q, lpad), lambda hi, qi, bi: (hi, qi, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((m, blk_q, lpad), lambda hi, bi: (hi, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
+    def kernel(q_ref, k_ref, v_ref, bias_ref, kb_ref, o_ref):
+        row = kb_ref[pl.ds(pl.program_id(2), 1), :].astype(jnp.float32)
+        outs = []
+        for i in range(m):
+            sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0][:, sl]
+            k = k_ref[0][:, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scaling
+            if has_bias:
+                bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
+                s = s + bias_i.astype(jnp.float32)
+            s = s + row  # (1, Lk) broadcasts over query rows
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            outs.append(jax.lax.dot_general(
+                p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        out = outs[0] if m == 1 else jnp.concatenate(outs, axis=-1)
+        o_ref[0] = out.astype(o_ref.dtype)
 
     return kernel
 
 
-def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, blk_q=DEFAULT_BLK_Q):
-    """q/k/v: (B, H, L, D); rel_bias: (H, L, L) | (B, H, L, L) | None;
-    key_bias: (B, L) fp32 additive (0 or -inf).  Returns (B, H, L, D)."""
-    b, h, l, d = q.shape
-    # pad L to the 128-lane grain, then take the whole padded sequence as a
-    # single q tile when it fits (<= 512): ONE-PEACE lengths (73/257/497...)
-    # land just above a power of two, and two half-empty tiles waste ~2x
-    lpad = -(-l // 128) * 128
-    blk_q = lpad if lpad <= 512 else max(
-        (blk for blk in (512, 256, 128) if lpad % blk == 0), default=128)
-    lpad = -(-lpad // blk_q) * blk_q
-    if lpad != l:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, lpad - l), (0, 0)))
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, lpad - l), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, lpad - l), (0, 0)))
-        key_bias = jnp.pad(key_bias, ((0, 0), (0, lpad - l)), constant_values=NEG_INF)
-        if rel_bias is not None:
-            pad = [(0, 0)] * (rel_bias.ndim - 2) + [(0, lpad - l), (0, lpad - l)]
-            rel_bias = jnp.pad(rel_bias, pad)
-
+def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
+    """q/k/v: (B, Lpad, H*Dh); rel_bias (H, Lp, Lp) | (B, H, Lp, Lp) | None;
+    key_bias (B, Lpad) fp32 additive.  Returns (B, Lpad, H*Dh)."""
+    b, lpad, hdim = q.shape
+    dh = hdim // heads
+    blk_q = _pick_blk_q(lpad)
+    m = _heads_per_program(heads, dh, target_lanes=384,
+                           bias_block_bytes=blk_q * lpad * 4 * 2)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
+    bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
 
-    in_specs = [
-        pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lpad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lpad, d), lambda bi, hi, qi: (bi, hi, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    if not has_bias:
-        bias_arg = jnp.zeros((1, 8, 128), jnp.float32)
-        in_specs.append(pl.BlockSpec((1, 8, 128), lambda bi, hi, qi: (0, 0, 0),
-                                     memory_space=pltpu.VMEM))
-    elif bias_batched:
-        bias_arg = rel_bias
-        in_specs.append(pl.BlockSpec((1, 1, blk_q, lpad),
-                                     lambda bi, hi, qi: (bi, hi, qi, 0),
-                                     memory_space=pltpu.VMEM))
-    else:
-        bias_arg = rel_bias
-        in_specs.append(pl.BlockSpec((1, blk_q, lpad), lambda bi, hi, qi: (hi, qi, 0),
-                                     memory_space=pltpu.VMEM))
-    # full-array block: a (1, L) row block would violate the TPU (8, 128)
-    # tile rule when B is not the row count
-    in_specs.append(
-        pl.BlockSpec((b, lpad), lambda bi, hi, qi: (0, 0), memory_space=pltpu.VMEM))
+    qkv_spec = lambda lblk: pl.BlockSpec(  # noqa: E731
+        (1, lblk, m * dh),
+        (lambda hi, qi, bi: (bi, qi, hi)) if lblk == blk_q
+        else (lambda hi, qi, bi: (bi, 0, hi)),
+        memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _make_kernel(scaling, has_bias, bias_batched),
-        grid=(b, h, lpad // blk_q),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+        _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched),
+        grid=(heads // m, lpad // blk_q, b),
+        in_specs=[
+            qkv_spec(blk_q),
+            qkv_spec(lpad),
+            qkv_spec(lpad),
+            _bias_spec(bias_batched, has_bias, m, blk_q, lpad, 3),
+            pl.BlockSpec((b, lpad), lambda hi, qi, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, blk_q, m * dh),
+                               lambda hi, qi, bi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, lpad, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
     )(q, k, v, bias_arg, key_bias)
-    return out[:, :, :l]
+    return out
 
 
-def _xla_reference(q, k, v, rel_bias, key_bias, scaling):
-    """Plain einsum attention used for the backward pass (exact grads,
-    including through rel_bias)."""
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched):
+    def kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, kb_ref,
+               dq_ref, dk_ref, dv_ref, dbias_ref):
+        bi = pl.program_id(1)
+        row = kb_ref[pl.ds(bi, 1), :].astype(jnp.float32)
+        dqs, dks, dvs, dss = [], [], [], []
+        for i in range(m):
+            sl = slice(i * dh, (i + 1) * dh)
+            q = q_ref[0][:, sl]
+            k = k_ref[0][:, sl]
+            v = v_ref[0][:, sl]
+            g = g_ref[0][:, sl]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scaling
+            if has_bias:
+                bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
+                s = s + bias_i.astype(jnp.float32)
+            s = s + row
+            mx = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - mx)
+            p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+            p = p32.astype(v_ref.dtype)
+            # dv = p^T @ g
+            dvs.append(jax.lax.dot_general(
+                p, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            # softmax vjp: ds = p * (dp - sum(dp*p))
+            dp = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dsum = jnp.sum(dp * p32, axis=-1, keepdims=True)
+            ds32 = p32 * (dp - dsum)
+            dss.append(ds32)
+            dsc = (ds32 * scaling).astype(q_ref.dtype)
+            dqs.append(jax.lax.dot_general(
+                dsc, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            dks.append(jax.lax.dot_general(
+                dsc, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+
+        cat = (lambda xs: xs[0] if m == 1 else jnp.concatenate(xs, axis=-1))
+        dq_ref[0] = cat(dqs).astype(dq_ref.dtype)
+        dk_ref[0] = cat(dks).astype(dk_ref.dtype)
+        dv_ref[0] = cat(dvs).astype(dv_ref.dtype)
+        if has_bias:
+            ds_all = dss[0][None] if m == 1 else jnp.stack(dss)
+            if bias_batched:
+                dbias_ref[0] = ds_all
+            else:
+                # batch is the innermost grid dim and this block's index map
+                # is batch-invariant: accumulate the bias cotangent in VMEM
+                @pl.when(bi == 0)
+                def _():
+                    dbias_ref[...] = ds_all
+
+                @pl.when(bi > 0)
+                def _():
+                    dbias_ref[...] += ds_all
+
+    return kernel
+
+
+def _bwd_vmem_bytes(b, lpad, m, dh, esize, bias_batched, has_bias):
+    qkv = 8 * lpad * m * dh * esize * 2   # q,k,v,g + dq,dk,dv (double-buffered)
+    bias = (2 * m * lpad * lpad * 4) if has_bias else 0  # bias in + dbias out
+    transients = 4 * lpad * lpad * 4      # s/p32, dp, ds, stacked ds
+    return qkv + bias + transients + b * lpad * 4
+
+
+def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
+    b, lpad, hdim = q.shape
+    dh = hdim // heads
+    m = _heads_per_program(heads, dh)
+    has_bias = rel_bias is not None
+    bias_batched = has_bias and rel_bias.ndim == 4
+    bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
+
+    qkv_spec = pl.BlockSpec((1, lpad, m * dh), lambda hi, bi: (bi, 0, hi),
+                            memory_space=pltpu.VMEM)
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+    ]
+    out_specs = [qkv_spec, qkv_spec, qkv_spec]
+    if has_bias:
+        out_shapes.append(jax.ShapeDtypeStruct(rel_bias.shape, jnp.float32))
+        out_specs.append(_bias_spec(bias_batched, True, m, lpad, lpad, 2))
+    else:
+        out_shapes.append(jax.ShapeDtypeStruct((1, 8, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, 128), lambda hi, bi: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched),
+        grid=(heads // m, b),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec, qkv_spec,
+            _bias_spec(bias_batched, has_bias, m, lpad, lpad, 2),
+            pl.BlockSpec((b, lpad), lambda hi, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+    )(q, k, v, g, bias_arg, key_bias)
+    dq, dk, dv, dbias = res
+    return dq, dk, dv, (dbias if has_bias else None)
+
+
+def _xla_reference(q, k, v, rel_bias, key_bias, scaling, heads):
+    """Plain einsum attention on the (B, L, H*Dh) layout; exact fallback."""
+    b, l, hdim = q.shape
+    dh = hdim // heads
+    qh = q.reshape(b, l, heads, dh)
+    kh = k.reshape(b, l, heads, dh)
+    vh = v.reshape(b, l, heads, dh)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                         preferred_element_type=jnp.float32) * scaling
     if rel_bias is not None:
         logits = logits + (rel_bias if rel_bias.ndim == 4 else rel_bias[None])
     logits = logits + key_bias[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+    return out.reshape(b, l, hdim)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash_attention_core(q, k, v, rel_bias, key_bias, scaling):
-    return _flash_fwd(q, k, v, rel_bias, key_bias, scaling)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_core(q, k, v, rel_bias, key_bias, scaling, heads):
+    return _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads)
 
 
-def _core_fwd(q, k, v, rel_bias, key_bias, scaling):
-    out = _flash_fwd(q, k, v, rel_bias, key_bias, scaling)
+def _core_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
+    out = _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads)
     return out, (q, k, v, rel_bias, key_bias)
 
 
-def _core_bwd(scaling, res, g):
+def _core_bwd(scaling, heads, res, g):
     q, k, v, rel_bias, key_bias = res
+    b, lpad, hdim = q.shape
+    m = _heads_per_program(heads, hdim // heads)
     has_bias = rel_bias is not None
+    bias_batched = has_bias and rel_bias.ndim == 4
+    vmem = _bwd_vmem_bytes(b, lpad, m, hdim // heads, q.dtype.itemsize,
+                           bias_batched, has_bias)
+    if vmem <= _BWD_VMEM_BUDGET:
+        dq, dk, dv, dbias = _flash_bwd(q, k, v, g, rel_bias, key_bias,
+                                       scaling, heads)
+        return dq, dk, dv, dbias, None
 
+    # VMEM overflow fallback: XLA einsum vjp (materializes, still exact)
     def f(q_, k_, v_, bias_):
-        return _xla_reference(q_, k_, v_, bias_ if has_bias else None, key_bias, scaling)
+        return _xla_reference(q_, k_, v_, bias_ if has_bias else None,
+                              key_bias, scaling, heads)
 
     _, vjp = jax.vjp(f, q, k, v, rel_bias)
     dq, dk, dv, dbias = vjp(g)
-    return dq, dk, dv, dbias if has_bias else None, None
+    return dq, dk, dv, (dbias if has_bias else None), None
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -167,16 +356,22 @@ def flash_attention(
     scaling: float,
 ) -> jnp.ndarray:
     """Public entry; layouts match ops.attention.multihead_attention:
-    q/k/v (B, L, H, D), rel_bias (H, L, L)/(B, H, L, L)/None, mask (B, L)."""
+    q/k/v (B, L, H, D), rel_bias (H, L, L)/(B, H, L, L)/None, mask (B, L).
+
+    The (B, L, H, D) -> (B, L, H*D) reshapes are free (contiguous); no
+    transposes touch HBM.
+    """
     b, l, h, d = q.shape
-    qt = jnp.transpose(q, (0, 2, 1, 3))
-    kt = jnp.transpose(k, (0, 2, 1, 3))
-    vt = jnp.transpose(v, (0, 2, 1, 3))
+    q3 = q.reshape(b, l, h * d)
+    k3 = k.reshape(b, l, h * d)
+    v3 = v.reshape(b, l, h * d)
     if key_padding_mask is not None:
         key_bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
     else:
         key_bias = jnp.zeros((b, l), jnp.float32)
     if rel_bias is not None:
         rel_bias = rel_bias.astype(jnp.float32)
-    out = _flash_attention_core(qt, kt, vt, rel_bias, key_bias, scaling)
-    return jnp.transpose(out, (0, 2, 1, 3))
+    q3, k3, v3, rel_bias, key_bias, lpad = _pad_inputs(
+        q3, k3, v3, rel_bias, key_bias)
+    out = _flash_attention_core(q3, k3, v3, rel_bias, key_bias, scaling, h)
+    return out[:, :l].reshape(b, l, h, d)
