@@ -83,13 +83,6 @@ def main(argv: Optional[list] = None) -> int:
 
     trainer = Trainer(cfg, model, criterion, params=params)
 
-    # preemption resume
-    latest = ckpt.latest_checkpoint(cfg.checkpoint.save_dir)
-    if latest and not cfg.checkpoint.reset_optimizer:
-        logger.info("resuming from %s", latest)
-        state = ckpt.restore_train_state(latest, trainer.state_dict())
-        trainer.load_state_dict(state)
-
     progress = ProgressLogger(cfg.common.log_format, cfg.common.log_interval,
                               cfg.common.tensorboard_logdir)
     itr = task.get_batch_iterator(
@@ -97,11 +90,36 @@ def main(argv: Optional[list] = None) -> int:
         ensure_equal_batch=cfg.dataset.ensure_equal_batch,
         skip_remainder_batch=cfg.optimization.skip_remainder_batch)
 
+    def full_state():
+        """Everything needed for exact resume: trainer bundle (params, opt,
+        step, rng, EMA, loss scale, train time) + iterator offset + best
+        metric (ref trainer.py:365-400 + checkpoint_utils.py:37-189)."""
+        return {
+            "trainer": trainer.state_dict(),
+            "iterator": itr.state_dict(),
+            "best_metric": float("nan") if _BEST_METRIC["value"] is None
+            else float(_BEST_METRIC["value"]),
+        }
+
+    # preemption resume: restores mid-epoch iterator position and EMA
+    latest = ckpt.latest_checkpoint(cfg.checkpoint.save_dir)
+    if latest and not cfg.checkpoint.reset_optimizer:
+        logger.info("resuming from %s", latest)
+        state = ckpt.restore_train_state(latest, full_state())
+        trainer.load_state_dict(state["trainer"])
+        itr.load_state_dict(state["iterator"])
+        best = float(state.get("best_metric", float("nan")))
+        _BEST_METRIC["value"] = None if best != best else best
+
+    def save(step):
+        ckpt.save_train_state(cfg.checkpoint.save_dir, step, full_state(),
+                              keep=max(cfg.checkpoint.keep_last_epochs, 1))
+
     max_update = cfg.optimization.max_update or int(1e9)
     max_epoch = cfg.optimization.max_epoch or int(1e9)
 
-    epoch = 1
-    while trainer.step < max_update and epoch <= max_epoch:
+    while trainer.step < max_update and itr.epoch <= max_epoch:
+        epoch = itr.epoch
         with aggregate(new_root=True) as agg:
             for batch in itr.next_epoch_itr():
                 metrics = trainer.train_step(batch)
@@ -110,10 +128,7 @@ def main(argv: Optional[list] = None) -> int:
                 progress.log(metrics, trainer.step)
                 if (cfg.checkpoint.save_interval_updates
                         and trainer.step % cfg.checkpoint.save_interval_updates == 0):
-                    ckpt.save_train_state(
-                        cfg.checkpoint.save_dir, trainer.step,
-                        trainer.state_dict(),
-                        keep=max(cfg.checkpoint.keep_last_epochs, 1))
+                    save(trainer.step)
                 if trainer.step >= max_update:
                     break
             progress.print(agg.as_dict(), trainer.step)
@@ -122,10 +137,8 @@ def main(argv: Optional[list] = None) -> int:
             stats = validate(cfg, task, model, trainer, progress)
             _maybe_save_best(cfg, trainer, stats)
         if epoch % cfg.checkpoint.save_interval == 0:
-            ckpt.save_train_state(cfg.checkpoint.save_dir, trainer.step,
-                                  trainer.state_dict(),
-                                  keep=max(cfg.checkpoint.keep_last_epochs, 1))
-        epoch += 1
+            save(trainer.step)
+    ckpt.wait_for_saves()
     return 0
 
 

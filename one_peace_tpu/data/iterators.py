@@ -80,17 +80,19 @@ class EpochBatchIterator:
         return len(self._batches_for_epoch(self.epoch))
 
     def next_epoch_itr(self, shuffle: Optional[bool] = None) -> Iterator:
-        if self._consumed == 0:
-            pass  # fresh epoch
         batches = self._batches_for_epoch(self.epoch)
-        start = self._consumed
-        self._consumed = 0
-        return self._iterate(batches[start:])
+        # resume mid-epoch from the absolute consumed offset: ``_consumed``
+        # keeps counting from ``start`` so a second preemption during the
+        # resumed epoch still records the true position
+        # (ref one_peace/data/iterators.py:194-216 fast-forward semantics)
+        return self._iterate(batches, self._consumed)
 
     def end_of_epoch(self) -> bool:
         return self._consumed >= len(self)
 
-    def _iterate(self, batches: List[List[int]]):
+    def _iterate(self, batches: List[List[int]], start: int = 0):
+        batches = batches[start:]
+
         def produce(out_q: queue.Queue):
             try:
                 for batch_ids in batches:
@@ -119,6 +121,10 @@ class EpochBatchIterator:
                 yield self.collate_fn(samples)
         self.epoch += 1
         self._consumed = 0
+
+    def first_batch_ids(self):
+        """Index lists of the next batches to be served (test/debug hook)."""
+        return self._batches_for_epoch(self.epoch)[self._consumed:]
 
     # ------------------------------------------------------------------
     # preemption-safe resume (ref iterators.py:179-216)

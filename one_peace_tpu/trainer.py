@@ -89,6 +89,7 @@ class Trainer:
         )(self.params)
 
         self.step = 0
+        self.train_time = 0.0  # cumulative train seconds (ref trainer.py:365-400)
         self._rng = jax.random.PRNGKey(cfg.common.seed + 1)
         self._train_step = self._build_train_step()
         self._metrics_hist: list = []
@@ -168,6 +169,7 @@ class Trainer:
                 self.loss_scale)
             metrics = {k: float(v) for k, v in metrics.items()}
             metrics["step_time"] = time.time() - t0
+            self.train_time += metrics["step_time"]
             self.step += 1
             if self.ema is not None:
                 self.ema.step(self.params, self.step)
@@ -186,14 +188,19 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def state_dict(self) -> Dict[str, Any]:
+        """Complete train-state bundle (ref one_peace/trainer.py:365-400:
+        model, optimizer, step, rng, EMA shadow, loss scale, train time)."""
         state = {
             "params": self.params,
             "opt_state": self.opt_state,
             "step": self.step,
             "rng": self._rng,
+            "train_time": self.train_time,
         }
         if self.loss_scale is not None:
             state["loss_scale"] = self.loss_scale
+        if self.ema is not None:
+            state["ema_shadow"] = self.ema.shadow
         return state
 
     def load_state_dict(self, state):
@@ -203,12 +210,17 @@ class Trainer:
         oshard = _opt_state_shardings(self.tx, self.mesh, self.params)
         self.opt_state = jax.tree.map(jax.device_put, state["opt_state"], oshard)
         self.step = int(state["step"])
+        self.train_time = float(state.get("train_time", 0.0))
         self._rng = jax.device_put(
             state["rng"], NamedSharding(self.mesh, P()))
         if "loss_scale" in state and self.loss_scale is not None:
             from .optim.loss_scaler import LossScaleState
 
             self.loss_scale = LossScaleState(*jax.tree.leaves(state["loss_scale"]))
+        if "ema_shadow" in state and self.ema is not None:
+            self.ema.shadow = jax.tree.map(
+                jax.device_put, state["ema_shadow"],
+                jax.tree.map(lambda p: p.sharding, self.params))
 
 
 def _masked(tx, mask) -> optax.GradientTransformation:

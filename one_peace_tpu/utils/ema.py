@@ -14,11 +14,17 @@ import jax.numpy as jnp
 from ..core.config import EMAConfig
 
 
+def _copy_tree(params, fp32: bool):
+    # jnp.array forces a real device copy: ``astype`` on an already-fp32
+    # leaf aliases the input, which the donating train step then deletes
+    return jax.tree.map(
+        lambda p: jnp.array(p, dtype=jnp.float32 if fp32 else p.dtype), params)
+
+
 class EMA:
     def __init__(self, cfg: EMAConfig, params):
         self.cfg = cfg
-        self.shadow = jax.tree.map(
-            lambda p: p.astype(jnp.float32) if cfg.ema_fp32 else p, params)
+        self.shadow = _copy_tree(params, cfg.ema_fp32)
         self._update = jax.jit(self._make_update())
 
     def _make_update(self):
@@ -35,8 +41,7 @@ class EMA:
         cfg = self.cfg
         if num_updates < cfg.ema_start_update:
             # copy-through warmup (ref trainer: ema starts tracking late)
-            self.shadow = jax.tree.map(
-                lambda p: p.astype(jnp.float32) if cfg.ema_fp32 else p, params)
+            self.shadow = _copy_tree(params, cfg.ema_fp32)
         elif num_updates % cfg.ema_update_freq == 0:
             self.shadow = self._update(self.shadow, params)
 

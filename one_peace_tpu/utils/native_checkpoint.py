@@ -91,16 +91,42 @@ def load_metadata(path: str) -> Optional[Dict]:
 # ---------------------------------------------------------------------------
 
 
-def save_train_state(ckpt_dir: str, step: int, state: Dict[str, Any],
-                     keep: int = 3) -> str:
-    import orbax.checkpoint as ocp
+_CHECKPOINTER = None
 
+
+def _checkpointer():
+    global _CHECKPOINTER
+    if _CHECKPOINTER is None:
+        import orbax.checkpoint as ocp
+
+        _CHECKPOINTER = ocp.StandardCheckpointer()
+    return _CHECKPOINTER
+
+
+def save_train_state(ckpt_dir: str, step: int, state: Dict[str, Any],
+                     keep: int = 3, async_save: bool = True) -> str:
+    """Save the full train-state bundle.
+
+    ``async_save=True`` (default) returns as soon as the device arrays are
+    snapshotted; serialization/IO overlaps the next train steps — the
+    analogue of the reference's ioPath async writes
+    (ref fairseq/checkpoint_utils.py:557).  Call :func:`wait_for_saves`
+    before process exit (or rely on the next save's implicit wait).
+    """
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # one save in flight at a time
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if not async_save:
+        ckptr.wait_until_finished()
     _prune_old(ckpt_dir, keep)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until any in-flight async checkpoint save completes."""
+    if _CHECKPOINTER is not None:
+        _CHECKPOINTER.wait_until_finished()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
