@@ -17,9 +17,12 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
-from one_peace_tpu.models.rel_pos import (
-    make_image_bucket_position,
-    make_token_bucket_position_with_cls,
+# bucket tables come from the REFERENCE's own code (AST-extracted and
+# executed at test time) so the fixture is independent of the repo's
+# implementation — see reference_funcs.py
+from reference_funcs import (
+    ref_image_bucket as make_image_bucket_position,
+    ref_token_bucket_with_cls as make_token_bucket_position_with_cls,
 )
 
 
