@@ -45,13 +45,18 @@ def main(argv: Optional[list] = None) -> int:
         num_classes=cfg.task.num_classes)
     model, params = hub.model, hub.params
 
+    import time
+
     task.load_dataset("valid")
+    t0 = time.time()
     task.begin_valid_epoch(model, params)
     itr = task.get_batch_iterator("valid", cfg.dataset.batch_size_valid,
                                   ensure_equal_batch=False)
     for batch in itr.next_epoch_itr():
         task.valid_step(model, params, batch)
     stats = task.merge_results()
+    stats["eval_wall_s"] = round(time.time() - t0, 3)
+    stats["eval_compiled_programs"] = task.eval_compiles
     printable = {k: v for k, v in stats.items() if isinstance(v, (int, float))}
     print(json.dumps(printable, indent=2))
     if args.output:

@@ -81,3 +81,18 @@ class BaseTask:
 
     def merge_results(self) -> Dict:
         raise NotImplementedError
+
+    def eval_model(self, model, params, net_input, **static_kw):
+        """Jitted, shape-bucketed eval forward — every task eval loop goes
+        through here instead of dispatching the model eagerly."""
+        from .jit_eval import JitEvaluator
+
+        ev = getattr(self, "_jit_eval", None)
+        if ev is None or ev.model is not model:
+            ev = self._jit_eval = JitEvaluator(model)
+        return ev(params, net_input, **static_kw)
+
+    @property
+    def eval_compiles(self) -> int:
+        ev = getattr(self, "_jit_eval", None)
+        return ev.n_compiles if ev is not None else 0

@@ -1,0 +1,86 @@
+"""Shape-bucketed jitted model runner for evaluation loops.
+
+The reference evaluates eagerly (op-by-op module dispatch); on TPU every
+un-jitted 40-layer forward is orders of magnitude slower than the compiled
+program.  This runner jits ``model.__call__`` once per (shape bucket,
+static kwargs) signature — the same strategy the hub uses for
+``extract_*`` (hub.py) — and pads eval batches into a small set of buckets
+so the ragged final batch does not trigger a recompile:
+
+- batch dim: padded up to the next power-of-two bucket (>= 8);
+- ``src_tokens``: sequence length padded to a multiple of 16 with the
+  padding index (extra pad columns do not change unpadded outputs —
+  padding-invariance is covered by the attention mask tests);
+- other arrays: batch-dim padding only (audio lengths are already bucketed
+  by the datasets' fixed-duration crop).
+
+Padded rows produce garbage-but-finite outputs that are sliced off.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+PAD_IDX = 1
+
+
+def _batch_bucket(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _seq_bucket(n: int) -> int:
+    return -(-n // 16) * 16
+
+
+class JitEvaluator:
+    """Callable: (params, net_input dict, **static_kwargs) -> outputs.
+
+    Compiles one program per distinct (bucketed shapes, static kwargs)
+    signature; ``n_compiles`` reports how many programs were built.
+    """
+
+    def __init__(self, model):
+        self.model = model
+        self._fns: Dict[Any, Any] = {}
+
+    @property
+    def n_compiles(self) -> int:
+        return len(self._fns)
+
+    def __call__(self, params, net_input: Dict[str, Any], **static_kw):
+        arrays = {k: np.asarray(v) for k, v in net_input.items()}
+        n = next(iter(arrays.values())).shape[0]
+        nb = _batch_bucket(n)
+        padded = {}
+        for k, v in arrays.items():
+            pad = [(0, nb - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
+            if k == "src_tokens":
+                pad[1] = (0, _seq_bucket(v.shape[1]) - v.shape[1])
+                v = np.pad(v, pad, constant_values=PAD_IDX)
+            else:
+                v = np.pad(v, pad)
+            padded[k] = v
+
+        key = (tuple(sorted(static_kw.items())),
+               tuple(sorted((k, v.shape, v.dtype.str)
+                            for k, v in padded.items())))
+        fn = self._fns.get(key)
+        if fn is None:
+            model = self.model
+
+            def call(params, net):
+                return model(params, **net, **static_kw)
+
+            fn = jax.jit(call)
+            self._fns[key] = fn
+
+        out = fn(params, padded)
+        if isinstance(out, tuple):
+            return tuple(o[:n] for o in out)
+        return out[:n]

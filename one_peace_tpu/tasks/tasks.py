@@ -46,14 +46,13 @@ class RetrievalTaskMixin:
     def begin_valid_epoch(self, model, params):
         if not getattr(self, "texts", None):
             self._load_valid_texts()
-        import jax.numpy as jnp
-
         logits_list = []
         for batch_texts in _chunk(self.texts, 50):
             if self.cfg.use_template:
                 batch_texts = ["This is a sound of " + t for t in batch_texts]
             tokens = self.tokenizer.encode_batch(list(batch_texts))
-            out = model(params, src_tokens=jnp.asarray(tokens), encoder_type="text")
+            out = self.eval_model(model, params, {"src_tokens": tokens},
+                                  encoder_type="text")
             if isinstance(out, tuple):
                 out = out[0]
             logits_list.append(np.asarray(out, np.float32))
@@ -61,15 +60,16 @@ class RetrievalTaskMixin:
                                np.concatenate(logits_list))
 
     def valid_step(self, model, params, batch):
-        import jax.numpy as jnp
-
         if self.side == "image":
-            out = model(params, src_images=jnp.asarray(batch["src_images"]),
-                        encoder_type="image")
+            out = self.eval_model(model, params,
+                                  {"src_images": batch["src_images"]},
+                                  encoder_type="image")
         else:
-            out = model(params, src_audios=jnp.asarray(batch["src_audios"]),
-                        audio_padding_masks=jnp.asarray(batch["audio_padding_masks"]),
-                        encoder_type="audio")
+            out = self.eval_model(
+                model, params,
+                {"src_audios": batch["src_audios"],
+                 "audio_padding_masks": batch["audio_padding_masks"]},
+                encoder_type="audio")
         if isinstance(out, tuple):
             out = out[0]
         self.metric.compute(np.asarray(batch["id"]), np.asarray(out, np.float32))
@@ -200,14 +200,12 @@ class ClassifyTaskBase(BaseTask):
         self.metric.initialize()
 
     def _net_input(self, batch):
-        import jax.numpy as jnp
-
         keys = ("src_tokens", "src_images", "src_images_2", "src_audios",
                 "audio_padding_masks")
-        return {k: jnp.asarray(batch[k]) for k in keys if k in batch}
+        return {k: batch[k] for k in keys if k in batch}
 
     def valid_step(self, model, params, batch):
-        logits = model(params, **self._net_input(batch))
+        logits = self.eval_model(model, params, self._net_input(batch))
         self.metric.compute(np.asarray(logits), np.asarray(batch["target"]))
 
     def merge_results(self) -> Dict:
@@ -222,7 +220,7 @@ class VqaTask(ClassifyTaskBase):
     criterion_name = "classify_criterion"
 
     def valid_step(self, model, params, batch):
-        logits = model(params, **self._net_input(batch))
+        logits = self.eval_model(model, params, self._net_input(batch))
         preds = np.asarray(logits).argmax(-1)
         targets = np.asarray(batch["target"])  # (B, answer_cnt) soft
         score = targets[np.arange(len(preds)), preds].sum()
@@ -293,10 +291,10 @@ class Fsd50kTask(BaseTask):
         self.metric.initialize()
 
     def valid_step(self, model, params, batch):
-        import jax.numpy as jnp
-
-        logits = model(params, src_audios=jnp.asarray(batch["src_audios"]),
-                       audio_padding_masks=jnp.asarray(batch["audio_padding_masks"]))
+        logits = self.eval_model(
+            model, params,
+            {"src_audios": batch["src_audios"],
+             "audio_padding_masks": batch["audio_padding_masks"]})
         self.metric.compute(batch["id"], np.asarray(logits),
                             np.asarray(batch["target"]))
 
@@ -314,13 +312,14 @@ class AqaTask(ClassifyTaskBase):
                 "max_duration": self.cfg.max_duration}
 
     def valid_step(self, model, params, batch):
-        import jax.numpy as jnp
-
         num_choices = 4
-        audios = jnp.repeat(jnp.asarray(batch["src_audios"]), num_choices, axis=0)
-        pads = jnp.repeat(jnp.asarray(batch["audio_padding_masks"]), num_choices, axis=0)
-        logits = model(params, src_tokens=jnp.asarray(batch["src_tokens"]),
-                       src_audios=audios, audio_padding_masks=pads)
+        audios = np.repeat(np.asarray(batch["src_audios"]), num_choices, axis=0)
+        pads = np.repeat(np.asarray(batch["audio_padding_masks"]), num_choices,
+                         axis=0)
+        logits = self.eval_model(
+            model, params,
+            {"src_tokens": batch["src_tokens"], "src_audios": audios,
+             "audio_padding_masks": pads})
         logits = np.asarray(logits).reshape(-1, num_choices)
         self.metric.compute(logits, np.asarray(batch["target"]))
 
@@ -344,8 +343,9 @@ class RefCOCOTask(BaseTask):
         import jax
         import jax.numpy as jnp
 
-        coords = model(params, src_tokens=jnp.asarray(batch["src_tokens"]),
-                       src_images=jnp.asarray(batch["src_images"]))
+        coords = self.eval_model(model, params,
+                                 {"src_tokens": batch["src_tokens"],
+                                  "src_images": batch["src_images"]})
         coords = np.asarray(jax.nn.sigmoid(coords.astype(jnp.float32)))
         # predicted boxes are normalized to the resized square; rescale to
         # original pixel coordinates
