@@ -8,7 +8,16 @@ This package holds the pieces specific to dense-prediction transfer:
   equivalent of the reference's 1.3k-line CUDA op (seg/ops/src/cuda/);
 - ``backbone``: the vision-branch feature extractor returning pyramid
   feature maps for detection/segmentation heads;
+- ``det_backbone``: the reference detection trunk — windowed attention
+  with interleaved global layers + the learned ViTDet
+  SimpleFeaturePyramid (ref det/models/onepeace.py);
 - ``video``: temporal classification over frame sequences (K400-style).
 """
 
+from .det_backbone import (  # noqa: F401
+    DetBackbone,
+    SimpleFeaturePyramid,
+    window_partition,
+    window_unpartition,
+)
 from .ms_deform_attn import ms_deform_attn_core  # noqa: F401

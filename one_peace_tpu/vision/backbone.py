@@ -4,10 +4,11 @@ The reference's det/seg/video apps (SURVEY.md §2.4) all wrap the
 vision-branch ViT (one_peace_vision/classification/models_vit.py — the
 image adapter + image-FFN-only encoder re-exported as a timm-style
 backbone).  Here the same capability: run the framework's image branch and
-return (a) the final patch-feature map and (b) a ViTDet-style simple
-feature pyramid (strides 4/8/16/32 from the stride-16 map via
-transposed-conv up / maxpool down), the standard input for detection and
-segmentation heads.
+return (a) the final patch-feature map and (b) a *parameterless* pyramid
+(bilinear up / maxpool down from the stride-16 map) as a lightweight
+default.  The reference-grade detection trunk — windowed attention with
+interleaved global layers and the *learned* ViTDet SimpleFeaturePyramid
+(ConvTranspose up / LN lateral convs) — lives in det_backbone.py.
 """
 
 from __future__ import annotations
@@ -48,9 +49,9 @@ class VisionBackbone:
 
     def pyramid(self, params, images: jnp.ndarray,
                 deterministic: bool = True, rng=None) -> Dict[str, jnp.ndarray]:
-        """ViTDet simple FPN: {p4, p8, p16, p32} NHWC maps derived from the
-        single-scale ViT output (up/down-sampling without extra params,
-        matching the lazy-config ViTDet recipe the reference uses)."""
+        """Parameterless pyramid: {p4, p8, p16, p32} NHWC maps via bilinear
+        up / maxpool down.  For the reference recipe's learned pyramid use
+        det_backbone.SimpleFeaturePyramid."""
         f16 = self(params, images, deterministic, rng)
         b, h, w, d = f16.shape
         f8 = jax.image.resize(f16, (b, h * 2, w * 2, d), "bilinear")
