@@ -197,7 +197,14 @@ class OnePeaceHubInterface:
         arr = (arr - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
         return arr.transpose(2, 0, 1)  # CHW for API parity
 
-    def process_image(self, image_list, return_image_sizes: bool = False):
+    def process_image(self, image_list, return_image_sizes: bool = False,
+                      on_device: bool = False):
+        """``on_device=True`` runs the bicubic resize + CLIP normalization
+        on the accelerator (ops/preprocess.resize_normalize, jitted per
+        input shape) — host work shrinks to decode only.  PIL and
+        jax.image.resize share the Keys a=-0.5 cubic kernel, agreeing to
+        ~1e-2 normalized units; the host path stays the parity default
+        (ref hub_interface.py:150-168)."""
         from PIL import Image
 
         arrays, widths, heights = [], [], []
@@ -212,8 +219,20 @@ class OnePeaceHubInterface:
                 h, w = img.shape[:2]
             widths.append(w)
             heights.append(h)
-            arrays.append(self._load_image(img))
-        src_images = jnp.asarray(np.stack(arrays), self.dtype)
+            if on_device:
+                from .ops.preprocess import resize_normalize
+
+                raw = np.asarray(img, np.uint8) if hasattr(img, "size") \
+                    else np.asarray(img)
+                if raw.dtype != np.uint8:  # pre-scaled float array input
+                    raw = np.clip(raw * 255.0, 0, 255).astype(np.uint8)
+                arrays.append(resize_normalize(
+                    jnp.asarray(raw), self.task_cfg.patch_image_size,
+                    CLIP_MEAN, CLIP_STD))
+            else:
+                arrays.append(self._load_image(img))
+        src_images = jnp.stack(arrays).astype(self.dtype) if on_device \
+            else jnp.asarray(np.stack(arrays), self.dtype)
         if return_image_sizes:
             return src_images, jnp.asarray(widths), jnp.asarray(heights)
         return src_images

@@ -29,8 +29,12 @@ class Recall:
         self.image_logits_list.append(np.asarray(image_logits, np.float32))
 
     def merge_results(self, output_predict: bool = False) -> Dict:
-        image_ids = np.concatenate(self.image_ids_list)
-        image_logits = np.concatenate(self.image_logits_list)
+        from .gather import gather_ragged
+
+        # multi-host: each process holds its shard of the eval set; gather
+        # variable-length results in rank order (ref data_utils.py:50-86)
+        image_ids = gather_ragged(np.concatenate(self.image_ids_list))
+        image_logits = gather_ragged(np.concatenate(self.image_logits_list))
         sim_i2t = image_logits @ self.text_logits.T
         return self.retrieval_eval(image_ids, sim_i2t, output_predict)
 

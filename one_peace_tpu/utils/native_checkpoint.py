@@ -130,6 +130,7 @@ def wait_for_saves() -> None:
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    wait_for_saves()  # an in-flight async save from this process counts
     if not os.path.isdir(ckpt_dir):
         return None
     steps = []
