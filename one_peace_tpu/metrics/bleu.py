@@ -64,9 +64,32 @@ class BleuScorer:
             return 0.0
         return min(1.0, math.exp(1 - self.stat.reflen / self.stat.predlen))
 
-    def score(self, order: int = 4) -> float:
-        ps = self.precisions()[:order]
-        if min(ps) == 0:
-            return 0.0
+    def score(self, order: int = 4, smooth: str = "none") -> float:
+        """Corpus BLEU with optional smoothing:
+
+        - ``'none'``: plain precisions (0 if any order has no match);
+        - ``'exp'``: sacreBLEU exponential smoothing — each zero-match
+          order n gets p_n = 1/(2^k * count_n) with k growing per zero
+          order (the reference's eval path uses sacrebleu with
+          smooth_method='exp', ref fairseq/tasks/translation.py:434-435);
+        - ``'add-1'``: add-one to match and count per order (the
+          semantics of libbleu's ``bleu_one_init``).
+        """
+        ps = []
+        smooth_mteval = 1.0
+        for i in range(order):
+            match, count = self.stat.match[i], self.stat.count[i]
+            if count == 0:
+                return 0.0
+            if smooth == "add-1":
+                ps.append((match + 1.0) / (count + 1.0))
+            elif match == 0:
+                if smooth == "exp":
+                    smooth_mteval *= 2.0
+                    ps.append(1.0 / (smooth_mteval * count))
+                else:
+                    return 0.0
+            else:
+                ps.append(match / count)
         log_avg = sum(math.log(p) for p in ps) / order
         return 100.0 * self.brevity() * math.exp(log_avg)

@@ -211,6 +211,23 @@ def test_bleu_scorer():
     assert s2.precisions()[0] == pytest.approx(5 / 6)
     assert s2.precisions()[1] == pytest.approx(3 / 5)
 
+    # smoothing: a pred with zero 4-gram matches scores 0 unsmoothed but
+    # > 0 with exp (sacreBLEU semantics) and add-1 (libbleu one_init)
+    s3 = BleuScorer()
+    s3.add([1, 2, 3, 4], [1, 2, 9, 4])
+    assert s3.score() == 0.0
+    import math
+    exp_score = s3.score(smooth="exp")
+    # orders: p1=3/4, p2=1/3 -> 0 matches at n=2? (1,2) matches -> 1/3;
+    # n=3,4 have zero matches -> 1/(2*cnt), 1/(4*cnt)
+    ps = [3 / 4, 1 / 3, 1 / (2 * 2), 1 / (4 * 1)]
+    expect = 100.0 * math.exp(sum(math.log(p) for p in ps) / 4)
+    assert exp_score == pytest.approx(expect)
+    add1 = s3.score(smooth="add-1")
+    ps1 = [4 / 5, 2 / 4, 1 / 3, 1 / 2]
+    expect1 = 100.0 * math.exp(sum(math.log(p) for p in ps1) / 4)
+    assert add1 == pytest.approx(expect1)
+
 
 def test_watchdog_trips_on_hang():
     import time
