@@ -117,7 +117,8 @@ class EncoderConfig:
     checkpoint_activations: bool = False
 
     # attention implementation: 'pallas' (fused flash kernel; falls back
-    # to XLA off-TPU or under a multi-device mesh) or 'xla'
+    # to XLA off-TPU; under a multi-device mesh the kernel runs through
+    # shard_map — batch over (dp, fsdp), heads/bias over tp) or 'xla'
     attn_impl: str = "pallas"
 
 

@@ -20,7 +20,6 @@ Shapes: q, k, v are ``(B, L, H, Dh)``; output ``(B, L, H, Dh)``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -53,17 +52,82 @@ def _combine_bias(
     return bias
 
 
-def _pallas_supported() -> bool:
-    """The fused kernel needs a real TPU backend; under a multi-device mesh
-    pallas_call has no SPMD partitioning rule yet, so pjit graphs fall back
-    to the XLA path (single-chip serving/bench take the kernel)."""
+# Mesh for the multi-device Pallas path (set by the Trainer / dryrun when
+# a >1-device mesh is active).  pallas_call has no SPMD partitioning rule,
+# so under a mesh the kernel is wrapped in shard_map: batch shards over the
+# data axes (dp, fsdp), heads + the per-head rel-pos bias shard over tp.
+# shard_map's transpose inserts the psum over data axes for the replicated
+# bias cotangent automatically (verified vs the XLA vjp in
+# tests/test_flash_attention.py::test_shard_map_*).
+_FLASH_MESH = None
+
+
+def set_flash_mesh(mesh) -> None:
+    """Register the active device mesh so attn_impl='pallas' stays fused
+    under pjit.  Pass None to clear.  Call BEFORE tracing the step fn."""
+    global _FLASH_MESH
+    _FLASH_MESH = mesh
+
+
+def _flash_mode() -> str:
+    """'direct' (single device), 'shard_map' (mesh registered), or 'off'."""
     try:
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        on_tpu = jax.default_backend() == "tpu"
+        ndev = jax.device_count()
     except Exception:  # backend not initialized yet
-        return False
+        return "off"
+    from . import flash_attention as fa
+
+    if not (on_tpu or fa.INTERPRET):
+        return "off"
+    if ndev == 1:
+        return "direct"
+    if _FLASH_MESH is not None:
+        return "shard_map"
+    return "off"
 
 
-@partial(jax.jit, static_argnames=("scaling", "impl"))
+def _shard_map_flash(q, k, v, rel_bias, key_padding_mask, scaling):
+    """shard_map-wrapped fused kernel; returns None when the shapes do not
+    divide the mesh (caller falls back to XLA, which pjit partitions)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .flash_attention import flash_attention
+
+    mesh = _FLASH_MESH
+    names = set(mesh.axis_names)
+    data = tuple(a for a in ("dp", "fsdp") if a in names)
+    tp = "tp" if "tp" in names else None
+    b, _, h, _ = q.shape
+    ndata = 1
+    for a in data:
+        ndata *= mesh.shape[a]
+    ntp = mesh.shape[tp] if tp else 1
+    if (not data and tp is None) or b % max(ndata, 1) or h % max(ntp, 1):
+        return None
+
+    qkv_spec = P(data or None, None, tp, None)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    args = [q, k, v]
+    if rel_bias is not None:
+        in_specs.append(P(data or None, tp, None, None) if rel_bias.ndim == 4
+                        else P(tp, None, None))
+        args.append(rel_bias)
+    if key_padding_mask is not None:
+        in_specs.append(P(data or None, None))
+        args.append(key_padding_mask)
+
+    def local_fn(*xs):
+        it = iter(xs)
+        q_, k_, v_ = next(it), next(it), next(it)
+        bias_ = next(it) if rel_bias is not None else None
+        mask_ = next(it) if key_padding_mask is not None else None
+        return flash_attention(q_, k_, v_, bias_, mask_, scaling)
+
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=qkv_spec, check_vma=False)(*args)
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -82,10 +146,16 @@ def multihead_attention(
       scaling: query scale (head_dim ** -0.5)
       impl: 'pallas' (fused kernel where supported, XLA otherwise) | 'xla'
     """
-    if impl == "pallas" and _pallas_supported():
-        from .flash_attention import flash_attention
+    if impl == "pallas":
+        mode = _flash_mode()
+        if mode == "direct":
+            from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, rel_bias, key_padding_mask, scaling)
+            return flash_attention(q, k, v, rel_bias, key_padding_mask, scaling)
+        if mode == "shard_map":
+            out = _shard_map_flash(q, k, v, rel_bias, key_padding_mask, scaling)
+            if out is not None:
+                return out
 
     b, lq, h, _ = q.shape
     lk = k.shape[1]

@@ -48,6 +48,10 @@ import os
 
 _HPACK = int(os.environ.get("ONE_PEACE_ATTN_HPACK", "0"))
 
+# Run the kernels through the Pallas interpreter (CPU testing of the
+# shard_map multi-device path; flip BEFORE the first trace).
+INTERPRET = bool(int(os.environ.get("ONE_PEACE_PALLAS_INTERPRET", "0")))
+
 
 def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
                        bias_block_bytes: int = 0) -> int:
@@ -179,6 +183,7 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
                                lambda hi, qi, bi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+        interpret=INTERPRET,
     )(q, k, v, bias_arg, key_bias)
     return out
 
@@ -289,6 +294,7 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        interpret=INTERPRET,
     )(q, k, v, g, bias_arg, key_bias)
     dq, dk, dv, dbias = res
     return dq, dk, dv, (dbias if has_bias else None)

@@ -59,6 +59,11 @@ class Trainer:
         self.criterion = criterion
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.distributed.dp, cfg.distributed.fsdp, cfg.distributed.tp)
+        if self.mesh.devices.size > 1:
+            # keep attn_impl='pallas' fused under the mesh (shard_map path)
+            from .ops.attention import set_flash_mesh
+
+            set_flash_mesh(self.mesh)
         if cfg.common.fp16:
             self.compute_dtype = jnp.float16
         elif cfg.common.bf16:

@@ -73,3 +73,86 @@ def test_gradients_match():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# multi-device path: shard_map-wrapped kernel on the 8-device CPU mesh
+# ---------------------------------------------------------------------------
+
+def _mesh222():
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    return Mesh(devs, ("dp", "fsdp", "tp"))
+
+
+@pytest.mark.parametrize("with_mask", [True, False])
+@pytest.mark.parametrize("bias_kind", ["shared", "batched", "none"])
+def test_shard_map_forward(monkeypatch, with_mask, bias_kind):
+    from one_peace_tpu.ops import attention as attn
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    monkeypatch.setattr(attn, "_FLASH_MESH", _mesh222())
+
+    b, l, h, d = 4, 20, 4, 16
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = {"shared": _rand((h, l, l), 3),
+            "batched": _rand((b, h, l, l), 3),
+            "none": None}[bias_kind]
+    mask = None
+    if with_mask:
+        mask = np.zeros((b, l), bool)
+        mask[0, -3:] = True
+        mask = jnp.asarray(mask)
+    scaling = d**-0.5
+    assert attn._flash_mode() == "shard_map"
+    out = jax.jit(lambda *a: multihead_attention(*a, scaling, impl="pallas"))(
+        q, k, v, bias, mask)
+    ref = multihead_attention(q, k, v, bias, mask, scaling, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_shard_map_gradients(monkeypatch):
+    """Bias cotangent needs a psum over the data axes (bias is replicated
+    there); q/k/v cotangents stay batch-sharded."""
+    from one_peace_tpu.ops import attention as attn
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    monkeypatch.setattr(attn, "_FLASH_MESH", _mesh222())
+
+    b, l, h, d = 4, 16, 4, 8
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3)
+    mask = np.zeros((b, l), bool)
+    mask[1, -2:] = True
+    mask = jnp.asarray(mask)
+    scaling = d**-0.5
+
+    def loss(impl):
+        def f(q, k, v, bias):
+            return jnp.sum(
+                multihead_attention(q, k, v, bias, mask, scaling, impl=impl) ** 2)
+        return f
+
+    g1 = jax.jit(jax.grad(loss("pallas"), argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    g2 = jax.jit(jax.grad(loss("xla"), argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_shard_map_indivisible_falls_back(monkeypatch):
+    """h=3 does not divide tp=2: dispatch must return the XLA result."""
+    from one_peace_tpu.ops import attention as attn
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+    monkeypatch.setattr(attn, "_FLASH_MESH", _mesh222())
+
+    b, l, h, d = 4, 12, 3, 16
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    scaling = d**-0.5
+    out = multihead_attention(q, k, v, None, None, scaling, impl="pallas")
+    ref = multihead_attention(q, k, v, None, None, scaling, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

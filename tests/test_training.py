@@ -277,3 +277,40 @@ def test_bf16_training_grads_through_conv_frontends():
     }
     m = trainer.train_step(batch)
     assert np.isfinite(m["loss"]) and m["skipped"] == 0.0 and m["gnorm"] > 0
+
+
+def test_train_step_with_shard_map_pallas_attention(monkeypatch):
+    """Full pjit train step with attn_impl='pallas' on the 2x2x2 mesh: the
+    shard_map-wrapped kernel (interpret mode) must run inside the scanned
+    encoder, fwd AND bwd, and match the XLA-attention step numerically."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.ops import flash_attention as fa
+    from one_peace_tpu.trainer import Trainer
+
+    monkeypatch.setattr(fa, "INTERPRET", True)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+
+    losses = {}
+    for impl in ("pallas", "xla"):
+        cfg = _tiny_framework_cfg()
+        cfg.distributed.dp = 2
+        cfg.model.encoder.attn_impl = impl
+        model = OnePeaceRetrievalModel(cfg.model)
+        criterion = build_criterion(cfg.criterion)
+        trainer = Trainer(cfg, model, criterion)
+        m1 = trainer.train_step(batch)
+        m2 = trainer.train_step(batch)
+        assert np.isfinite(m1["loss"]) and np.isfinite(m2["loss"])
+        losses[impl] = (m1["loss"], m2["loss"])
+    # step-1 losses are identical; step-2 (after one AdamW update) amplifies
+    # accumulation-order noise through the normalized update direction
+    np.testing.assert_allclose(losses["pallas"][0], losses["xla"][0],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(losses["pallas"][1], losses["xla"][1],
+                               rtol=2e-3, atol=2e-3)
