@@ -283,6 +283,10 @@ class DistributedConfig:
     dp: int = -1
     fsdp: int = 1
     tp: int = 1
+    # pipeline parallelism: stages over a leading 'pp' mesh axis (GPipe
+    # micro-batching, parallel/pipeline.py); 1 = off
+    pp: int = 1
+    pp_micro_batches: int = 4
     # ZeRO-style parameter/optimizer sharding over the fsdp axis
     shard_params: bool = True
 

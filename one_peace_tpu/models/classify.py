@@ -61,6 +61,9 @@ class OnePeaceClassifyModel:
             use_two_images=use_two_images,
         )
 
+    def enable_pipeline(self, mesh, num_micro_batches: int) -> None:
+        self.wrapper.enable_pipeline(mesh, num_micro_batches)
+
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, 2)
         return {

@@ -214,6 +214,18 @@ class FusionEncoder:
         self.use_audio_norm = cfg.use_audio_moe and use_audio_norm
         # stochastic-depth schedule (ref: transformer_encoder.py:53)
         self.dpr = np.linspace(0, cfg.drop_path_rate, cfg.layers, dtype=np.float32)
+        # pipeline parallelism (set via enable_pipeline; None = plain scan)
+        self.pp_mesh = None
+        self.pp_micro_batches = 1
+
+    def enable_pipeline(self, mesh, num_micro_batches: int) -> None:
+        """Route the layer stack through GPipe over the mesh's ``pp`` axis
+        (parallel/pipeline.py).  The stacked layer params must be sharded
+        P('pp', ...) on the leading axis (sharding.py param_specs(pp=True))."""
+        assert self.cfg.layers % mesh.shape["pp"] == 0, (
+            self.cfg.layers, mesh.shape["pp"])
+        self.pp_mesh = mesh
+        self.pp_micro_batches = num_micro_batches
 
     def init(self, key, dtype=jnp.float32):
         cfg = self.cfg
@@ -297,7 +309,46 @@ class FusionEncoder:
             dpr,
             layer_rngs,
         )
-        x, hiddens = jax.lax.scan(body, x, scanned)
+        use_pp = (self.pp_mesh is not None
+                  and self.pp_mesh.shape.get("pp", 1) > 1
+                  and not return_all_hiddens
+                  # per-layer batched bias would need 2-axis micro-slicing
+                  and not (per_layer_bias and rel_bias.ndim == 5))
+        if use_pp:
+            from ..parallel.pipeline import pipeline_forward
+
+            bias_batched = shared_bias is not None and shared_bias.ndim == 4
+            batch_aux = (padding_mask if has_pads else None,
+                         shared_bias if bias_batched else None)
+            broadcast_aux = shared_bias if (shared_bias is not None
+                                            and not bias_batched) else None
+
+            def pp_body(scanned_slice, carry, aux, bcast_bias):
+                layer_params, layer_bias, layer_dpr, layer_rng = scanned_slice
+                mask_mb, batched_bias_mb = aux
+                if batched_bias_mb is not None:
+                    bias = batched_bias_mb
+                elif per_layer_bias:
+                    bias = layer_bias
+                else:
+                    bias = bcast_bias  # (H, L, L) shared, replicated
+                out = encoder_layer(
+                    layer_params, cfg, carry, mask_mb, bias, encoder_type,
+                    split_lens, layer_dpr, deterministic=deterministic,
+                    rng=layer_rng if use_rng else None)
+                if cfg.layerdrop > 0.0 and use_rng:
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(layer_rng, 1), 1.0 - cfg.layerdrop)
+                    out = jnp.where(keep, out, carry)
+                return out
+
+            x = pipeline_forward(
+                pp_body, scanned, x, self.pp_mesh, self.pp_micro_batches,
+                batch_aux=batch_aux, broadcast_aux=broadcast_aux,
+                checkpoint_stages=cfg.checkpoint_activations)
+            hiddens = None
+        else:
+            x, hiddens = jax.lax.scan(body, x, scanned)
 
         # per-modality final LayerNorm (ref encoder:201-218)
         text_len, image_len, audio_len = split_lens

@@ -87,6 +87,9 @@ class ModelWrapper:
         )
         self.fusion = FusionEncoder(cfg, use_text_norm, use_image_norm, use_audio_norm)
 
+    def enable_pipeline(self, mesh, num_micro_batches: int) -> None:
+        self.fusion.enable_pipeline(mesh, num_micro_batches)
+
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, 4)
         params = {"fusion": self.fusion.init(keys[3], dtype=dtype)}
@@ -194,6 +197,9 @@ class OnePeaceRetrievalModel:
             use_audio_norm=enc.use_audio_moe,
             num_rel_tables=enc.layers if cfg.copy_rel_pos_table else None,
         )
+
+    def enable_pipeline(self, mesh, num_micro_batches: int) -> None:
+        self.wrapper.enable_pipeline(mesh, num_micro_batches)
 
     def init(self, key, dtype=jnp.float32):
         enc = self.cfg.encoder

@@ -34,6 +34,11 @@ class OnePeacePretrainModel:
         self.encoder_wrapper = ModelWrapper(cfg.encoder)
         self.decoder_wrapper = ModelWrapper(cfg.decoder)
 
+    def enable_pipeline(self, mesh, num_micro_batches: int) -> None:
+        """Pipeline the 40-layer encoder; the 2-layer decoder stays scanned
+        (its depth rarely divides a pp axis and it is ~1% of the FLOPs)."""
+        self.encoder_wrapper.enable_pipeline(mesh, num_micro_batches)
+
     def init(self, key, dtype=jnp.float32):
         enc = self.cfg.encoder
         dec = self.cfg.decoder

@@ -124,8 +124,12 @@ def _shard_map_flash(q, k, v, rel_bias, key_padding_mask, scaling):
         mask_ = next(it) if key_padding_mask is not None else None
         return flash_attention(q_, k_, v_, bias_, mask_, scaling)
 
+    # partial-manual: only the axes the specs mention (composes under the
+    # pipeline's own shard_map over 'pp', where this runs per-stage)
+    manual = set(data) | ({tp} if tp else set())
     return jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
-                         out_specs=qkv_spec, check_vma=False)(*args)
+                         out_specs=qkv_spec, axis_names=manual,
+                         check_vma=False)(*args)
 
 
 def multihead_attention(

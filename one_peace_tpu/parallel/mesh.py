@@ -23,16 +23,25 @@ from jax.sharding import Mesh
 AXES = ("dp", "fsdp", "tp")
 
 
-def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1,
+def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1, pp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh; dp=-1 absorbs remaining devices."""
+    """Build a (dp, fsdp, tp) mesh; dp=-1 absorbs remaining devices.
+
+    When pp > 1 a leading ``pp`` axis is prepended — pipeline stages sit
+    outermost (cross-slice/DCN-friendly: stage hops are thin point-to-point
+    activation transfers; the bandwidth-heavy fsdp/tp collectives stay
+    within a stage's inner axes on ICI)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp == -1:
-        assert n % (fsdp * tp) == 0, (n, fsdp, tp)
-        dp = n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+        assert n % (pp * fsdp * tp) == 0, (n, pp, fsdp, tp)
+        dp = n // (pp * fsdp * tp)
+    assert dp * fsdp * tp * pp == n, \
+        f"mesh pp={pp} {dp}x{fsdp}x{tp} != {n} devices"
+    if pp > 1:
+        arr = np.asarray(devices).reshape(pp, dp, fsdp, tp)
+        return Mesh(arr, ("pp",) + AXES)
     arr = np.asarray(devices).reshape(dp, fsdp, tp)
     return Mesh(arr, AXES)
 

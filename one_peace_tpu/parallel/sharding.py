@@ -69,16 +69,36 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def param_specs(params) -> Any:
-    """Pytree of PartitionSpec mirroring ``params``."""
-    return jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: spec_for_path(_path_str(kp), np.ndim(leaf)), params
-    )
+def _with_pp(path: str, spec: P, leaf, pp_size: int) -> P:
+    """Shard the leading (layers) axis of stacked encoder params over the
+    ``pp`` mesh axis (pipeline stages own disjoint layer ranges).  Stacks
+    whose depth does not divide the axis (e.g. the 2-layer pretrain
+    decoder) stay on the base rules."""
+    if not re.search(r"(^|/)layers/", path):
+        return spec
+    if np.ndim(leaf) == 0 or np.shape(leaf)[0] % pp_size:
+        return spec
+    rest = tuple(spec)[1:] if len(spec) else ()
+    rest = rest + (None,) * (np.ndim(leaf) - 1 - len(rest))
+    return P("pp", *rest)
+
+
+def param_specs(params, pp_size: int = 1) -> Any:
+    """Pytree of PartitionSpec mirroring ``params``; pp_size > 1
+    additionally shards stacked layer leaves over the pipeline axis."""
+    def spec(kp, leaf):
+        path = _path_str(kp)
+        s = spec_for_path(path, np.ndim(leaf))
+        return _with_pp(path, s, leaf, pp_size) if pp_size > 1 else s
+
+    return jax.tree_util.tree_map_with_path(spec, params)
 
 
 def param_shardings(mesh: Mesh, params) -> Any:
+    pp_size = mesh.shape["pp"] if "pp" in mesh.axis_names else 1
     return jax.tree.map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(params)
+        lambda spec: NamedSharding(mesh, spec),
+        param_specs(params, pp_size=pp_size)
     )
 
 

@@ -58,7 +58,11 @@ class Trainer:
         self.model = model
         self.criterion = criterion
         self.mesh = mesh if mesh is not None else make_mesh(
-            cfg.distributed.dp, cfg.distributed.fsdp, cfg.distributed.tp)
+            cfg.distributed.dp, cfg.distributed.fsdp, cfg.distributed.tp,
+            cfg.distributed.pp)
+        if ("pp" in self.mesh.axis_names and self.mesh.shape["pp"] > 1
+                and hasattr(model, "enable_pipeline")):
+            model.enable_pipeline(self.mesh, cfg.distributed.pp_micro_batches)
         if self.mesh.devices.size > 1:
             # keep attn_impl='pallas' fused under the mesh (shard_map path)
             from .ops.attention import set_flash_mesh
