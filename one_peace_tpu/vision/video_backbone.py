@@ -54,10 +54,12 @@ from ..ops.attention import multihead_attention
 
 
 def init_adapter(key, d: int, mlp_ratio: float = 0.25, dtype=jnp.float32):
-    k1, k2 = jax.random.split(key)
+    """fc2 zero-init: the adapted model starts exactly equal to the frozen
+    trunk (ref onepeace.py:640-665 zeroes every adapter's D_fc2)."""
     hid = int(d * mlp_ratio)
-    return {"fc1": init_linear(k1, d, hid, dtype=dtype),
-            "fc2": init_linear(k2, hid, d, dtype=dtype)}
+    return {"fc1": init_linear(key, d, hid, dtype=dtype),
+            "fc2": {"w": jnp.zeros((hid, d), dtype),
+                    "b": jnp.zeros((d,), dtype)}}
 
 
 def adapter(params, x, skip: bool):
