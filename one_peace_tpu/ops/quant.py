@@ -27,6 +27,18 @@ def quantize_weight(w: jnp.ndarray):
     return {"w_q": wq, "w_scale": scale[0]}
 
 
+def _use_pallas_int8(k: int) -> bool:
+    """XLA's int8 dot is the default: measured in-model on v5e (8-layer
+    proxy, image fwd B=32) the full int8 FFN path runs 968.6 img/s vs
+    bf16's 784.5 (+23%) — XLA fuses the requant/dequant into neighbors.
+    The Pallas kernel (quant_pallas.py) wins isolated K-heavy matmuls
+    (41.4 vs 25.6 TFLOPs at K=6144) but loses in-model (890 img/s);
+    ONE_PEACE_INT8_IMPL=pallas keeps it selectable for experiments."""
+    import os
+
+    return os.environ.get("ONE_PEACE_INT8_IMPL", "xla") == "pallas"
+
+
 def quantized_linear(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     """Dynamic-activation int8 matmul: x (..., in) -> (..., out)."""
     orig_shape = x.shape
@@ -34,10 +46,16 @@ def quantized_linear(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-8)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, params["w_q"], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * sx * params["w_scale"][None, :]
+    if _use_pallas_int8(xq.shape[-1]):
+        from .quant_pallas import int8_matmul
+
+        y = int8_matmul(xq, params["w_q"], sx[:, 0], params["w_scale"],
+                        out_dtype=jnp.float32)
+    else:
+        acc = jax.lax.dot_general(
+            xq, params["w_q"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * sx * params["w_scale"][None, :]
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.reshape(orig_shape[:-1] + (params["w_q"].shape[1],)).astype(x.dtype)
