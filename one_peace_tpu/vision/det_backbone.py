@@ -235,9 +235,16 @@ def init_det_layer(key, d: int, f: int, heads: int, input_size: int,
 
 
 def _det_attention(params, heads: int, x: jnp.ndarray,
-                   shared_bias: Optional[jnp.ndarray]) -> jnp.ndarray:
+                   shared_bias: Optional[jnp.ndarray],
+                   toep: Optional[jnp.ndarray] = None,
+                   use_kernel: bool = False) -> jnp.ndarray:
     """x (B', h, w, C); fp32-softmax attention with shared bucket bias +
-    decomposed rel pos from unscaled q (ref onepeace.py:196-219)."""
+    decomposed rel pos from unscaled q (ref onepeace.py:196-219).
+
+    ``use_kernel`` routes through ops/det_attention.det_flash_attention:
+    the shared bias enters as its Toeplitz factor ``toep`` and the
+    decomposed bias is applied tile-wise — neither the (B', H, L, L)
+    logits nor the (H, L, L) gathered bias ever exist."""
     b, h, w, c = x.shape
     l = h * w
     dh = c // heads
@@ -245,23 +252,31 @@ def _det_attention(params, heads: int, x: jnp.ndarray,
     q = linear(params["q_proj"], xt).reshape(b, l, heads, dh)
     k = linear(params["k_proj"], xt).reshape(b, l, heads, dh)
     v = linear(params["v_proj"], xt).reshape(b, l, heads, dh)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32) * (dh ** -0.5)
-    if shared_bias is not None:
-        logits = logits + shared_bias[None].astype(jnp.float32)
-    if "rel_pos_h" in params:
-        logits = logits + decomposed_rel_bias(
-            q, params["rel_pos_h"], params["rel_pos_w"], (h, w)
-        ).astype(jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, c)
+    if use_kernel:
+        from ..ops.det_attention import det_flash_attention
+
+        out = det_flash_attention(
+            q, k, v, toep, params.get("rel_pos_h"), params.get("rel_pos_w"),
+            (h, w), dh ** -0.5).reshape(b, l, c)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (dh ** -0.5)
+        if shared_bias is not None:
+            logits = logits + shared_bias[None].astype(jnp.float32)
+        if "rel_pos_h" in params:
+            logits = logits + decomposed_rel_bias(
+                q, params["rel_pos_h"], params["rel_pos_w"], (h, w)
+            ).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, c)
     out = layer_norm(params["ln"], out)
     out = linear(params["out_proj"], out)
     return out.reshape(b, h, w, c)
 
 
 def det_layer(params, heads: int, x: jnp.ndarray, window_size: int,
-              shared_bias, dpr, deterministic: bool = True, rng=None):
+              shared_bias, dpr, deterministic: bool = True, rng=None,
+              toep=None, use_kernel: bool = False):
     """(B, H, W, C) -> same; windowed when window_size > 0
     (ref onepeace.py:305-330)."""
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
@@ -270,7 +285,8 @@ def det_layer(params, heads: int, x: jnp.ndarray, window_size: int,
     hw = y.shape[1:3]
     if window_size > 0:
         y, pad_hw = window_partition(y, window_size)
-    y = _det_attention(params["self_attn"], heads, y, shared_bias)
+    y = _det_attention(params["self_attn"], heads, y, shared_bias,
+                       toep=toep, use_kernel=use_kernel)
     if window_size > 0:
         y = window_unpartition(y, window_size, pad_hw, hw)
     y = drop_path(rngs[0], y * params["gamma_1"], dpr, deterministic)
@@ -301,8 +317,9 @@ class DetBackbone:
                  layers=40, bucket_size=64, pretrain_bucket_size=16,
                  window_size=16, global_period=4, drop_path_rate=0.0,
                  shared_rp_bias=True, use_decomposed_rel_pos=True,
-                 checkpoint_activations=True):
+                 checkpoint_activations=True, attn_impl="pallas"):
         assert layers % global_period == 0, (layers, global_period)
+        self.attn_impl = attn_impl
         self.d, self.f, self.heads = embed_dim, ffn_embed_dim, heads
         self.layers = layers
         self.bucket_size = bucket_size
@@ -343,17 +360,38 @@ class DetBackbone:
         h, w = x.shape[1:3]
         assert h == w <= self.bucket_size, "square inputs up to bucket_size"
 
-        bias = bias_win = None
+        from ..ops.det_attention import det_flash_supported
+
+        use_kernel = (self.attn_impl == "pallas"
+                      and det_flash_supported((h, w), self.heads,
+                                              self.d // self.heads))
+
+        bias = bias_win = toep = toep_win = None
         if self.shared_rp_bias:
             table = params["rel_pos_table"]
-            full = shared_bias_from_table(
-                table, self.pretrain_bucket_size, self.bucket_size)
-            # slice the (bucket, bucket) grid bias down to the (h, w) grid
-            full = full.reshape(self.heads, self.bucket_size, self.bucket_size,
-                                self.bucket_size, self.bucket_size)
-            bias = full[:, :h, :w, :h, :w].reshape(self.heads, h * w, h * w)
-            bias_win = shared_bias_from_table(
-                table, self.pretrain_bucket_size, self.window_size)
+            if use_kernel:
+                # Toeplitz factor instead of the (heads, L, L) gather —
+                # the bias depends only on relative coords, so slicing
+                # the bucket-sized factor to the (h, w) grid is exact
+                from ..ops.det_attention import toeplitz_tables
+
+                full_t = toeplitz_tables(
+                    table, self.pretrain_bucket_size, self.bucket_size)
+                off = self.bucket_size - h
+                toep = full_t[:, off:off + 2 * h - 1, :w, :w]
+                toep_win = toeplitz_tables(
+                    table, self.pretrain_bucket_size, self.window_size)
+            else:
+                full = shared_bias_from_table(
+                    table, self.pretrain_bucket_size, self.bucket_size)
+                # slice the (bucket, bucket) grid bias down to (h, w)
+                full = full.reshape(
+                    self.heads, self.bucket_size, self.bucket_size,
+                    self.bucket_size, self.bucket_size)
+                bias = full[:, :h, :w, :h, :w].reshape(
+                    self.heads, h * w, h * w)
+                bias_win = shared_bias_from_table(
+                    table, self.pretrain_bucket_size, self.window_size)
 
         groups = self.layers // self.global_period
         nwin = self.global_period - 1
@@ -372,10 +410,12 @@ class DetBackbone:
                 lp = jax.tree.map(lambda p, idx=i: p[idx], win_params)
                 y = det_layer(lp, heads, y, ws, bias_win, g_dpr[i],
                               deterministic,
-                              jax.random.fold_in(g_rng, i) if use_rng else None)
+                              jax.random.fold_in(g_rng, i) if use_rng else None,
+                              toep=toep_win, use_kernel=use_kernel)
             y = det_layer(glob_params, heads, y, 0, bias, g_dpr[nwin],
                           deterministic,
-                          jax.random.fold_in(g_rng, nwin) if use_rng else None)
+                          jax.random.fold_in(g_rng, nwin) if use_rng else None,
+                          toep=toep, use_kernel=use_kernel)
             return y, None
 
         if self.checkpoint_activations:

@@ -1,0 +1,126 @@
+"""Det global-layer flash attention (Pallas, interpret mode on CPU) vs the
+materializing XLA math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from one_peace_tpu.ops import det_attention as da
+from one_peace_tpu.ops import flash_attention as fa
+from one_peace_tpu.vision.det_backbone import shared_bias_from_table
+
+HEADS, DH = 4, 16
+SRC_BUCKET, BUCKET = 4, 8
+HG = WG = 8
+L = HG * WG
+SCALING = DH ** -0.5
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fa, "INTERPRET", True)
+
+
+def _table(rs):
+    return jnp.asarray(rs.randn((2 * SRC_BUCKET - 1) ** 2 + 3, HEADS), jnp.float32)
+
+
+def _qkv(rs, b=2, l=L):
+    return (jnp.asarray(rs.randn(b, l, HEADS, DH), jnp.float32),
+            jnp.asarray(rs.randn(b, l, HEADS, DH), jnp.float32),
+            jnp.asarray(rs.randn(b, l, HEADS, DH), jnp.float32))
+
+
+def test_toeplitz_factor_equals_gathered_bias():
+    rs = np.random.RandomState(0)
+    table = _table(rs)
+    toep = da.toeplitz_tables(table, SRC_BUCKET, BUCKET)
+    got = da._bias_from_toeplitz(toep, HG, WG)
+    want = shared_bias_from_table(table, SRC_BUCKET, BUCKET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_toeplitz_slice_matches_smaller_grid():
+    """The bias depends only on relative coords: slicing the bucket-sized
+    factor to an (h, w) sub-grid equals the (h, w) gather."""
+    rs = np.random.RandomState(1)
+    table = _table(rs)
+    toep = da.toeplitz_tables(table, SRC_BUCKET, BUCKET)
+    h = w = 6
+    off = BUCKET - h
+    sliced = toep[:, off:off + 2 * h - 1, :w, :w]
+    got = da._bias_from_toeplitz(sliced, h, w)
+    full = shared_bias_from_table(table, SRC_BUCKET, BUCKET)
+    full = full.reshape(HEADS, BUCKET, BUCKET, BUCKET, BUCKET)
+    want = full[:, :h, :w, :h, :w].reshape(HEADS, h * w, h * w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("use_toep,use_decomp",
+                         [(True, True), (True, False), (False, True)])
+def test_kernel_matches_xla(use_toep, use_decomp):
+    rs = np.random.RandomState(2)
+    q, k, v = _qkv(rs)
+    toep = da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET) if use_toep else None
+    rel_h = jnp.asarray(0.1 * rs.randn(2 * HG - 1, DH), jnp.float32) if use_decomp else None
+    rel_w = jnp.asarray(0.1 * rs.randn(2 * WG - 1, DH), jnp.float32) if use_decomp else None
+    b = q.shape[0]
+    out = da.det_flash_attention(q, k, v, toep, rel_h, rel_w, (HG, WG), SCALING)
+    ref = da._xla_reference(q.reshape(b, L, -1), k.reshape(b, L, -1),
+                            v.reshape(b, L, -1), toep, rel_h, rel_w,
+                            (HG, WG), SCALING, HEADS)
+    np.testing.assert_allclose(np.asarray(out.reshape(b, L, -1)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_flow_to_all_tables():
+    """bwd (XLA vjp) must produce cotangents for q/k/v AND the shared
+    Toeplitz factor and decomposed tables (all trainable in det FT)."""
+    rs = np.random.RandomState(3)
+    q, k, v = _qkv(rs, b=1)
+    toep = da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET)
+    rel_h = jnp.asarray(0.1 * rs.randn(2 * HG - 1, DH), jnp.float32)
+    rel_w = jnp.asarray(0.1 * rs.randn(2 * WG - 1, DH), jnp.float32)
+    b = 1
+
+    def loss_kernel(q, k, v, toep, rel_h, rel_w):
+        o = da.det_flash_attention(q, k, v, toep, rel_h, rel_w, (HG, WG), SCALING)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q3, k3, v3, toep, rel_h, rel_w):
+        o = da._xla_reference(q3, k3, v3, toep, rel_h, rel_w,
+                              (HG, WG), SCALING, HEADS)
+        return jnp.sum(o ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5))(
+        q, k, v, toep, rel_h, rel_w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(
+        q.reshape(b, L, -1), k.reshape(b, L, -1), v.reshape(b, L, -1),
+        toep, rel_h, rel_w)
+    for name, a, want in zip("q k v toep rel_h rel_w".split(), g1, g2):
+        np.testing.assert_allclose(np.asarray(a).reshape(want.shape),
+                                   np.asarray(want), rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_det_backbone_kernel_path_matches_xla():
+    """Full DetBackbone forward: attn_impl='pallas' (interpret) ==
+    attn_impl='xla' with materialized bias."""
+    from one_peace_tpu.vision.det_backbone import DetBackbone
+
+    rs = np.random.RandomState(4)
+    imgs = jnp.asarray(rs.randn(1, 3, 64, 64), jnp.float32)
+    outs = {}
+    for impl in ("pallas", "xla"):
+        backbone = DetBackbone(
+            embed_dim=32, ffn_embed_dim=64, heads=HEADS, layers=4,
+            bucket_size=4, pretrain_bucket_size=SRC_BUCKET, window_size=2,
+            global_period=2, checkpoint_activations=False, attn_impl=impl)
+        params = backbone.init(jax.random.PRNGKey(0))
+        params["rel_pos_table"] = _table(np.random.RandomState(5))
+        outs[impl] = np.asarray(backbone(params, imgs))
+    np.testing.assert_allclose(outs["pallas"], outs["xla"],
+                               rtol=2e-5, atol=2e-5)
