@@ -124,3 +124,21 @@ def test_det_backbone_kernel_path_matches_xla():
         outs[impl] = np.asarray(backbone(params, imgs))
     np.testing.assert_allclose(outs["pallas"], outs["xla"],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_asymmetric_tiles(monkeypatch):
+    """c != ck exercises the general dy-slab window (c+ck-1 rows)."""
+    monkeypatch.setenv("ONE_PEACE_DET_BLKQ", "16")   # c = 2 rows
+    monkeypatch.setenv("ONE_PEACE_DET_BLKK", "32")   # ck = 4 rows
+    rs = np.random.RandomState(6)
+    q, k, v = _qkv(rs)
+    toep = da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET)
+    rel_h = jnp.asarray(0.1 * rs.randn(2 * HG - 1, DH), jnp.float32)
+    rel_w = jnp.asarray(0.1 * rs.randn(2 * WG - 1, DH), jnp.float32)
+    b = q.shape[0]
+    out = da.det_flash_attention(q, k, v, toep, rel_h, rel_w, (HG, WG), SCALING)
+    ref = da._xla_reference(q.reshape(b, L, -1), k.reshape(b, L, -1),
+                            v.reshape(b, L, -1), toep, rel_h, rel_w,
+                            (HG, WG), SCALING, HEADS)
+    np.testing.assert_allclose(np.asarray(out.reshape(b, L, -1)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
