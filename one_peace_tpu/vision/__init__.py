@@ -21,3 +21,8 @@ from .det_backbone import (  # noqa: F401
     window_unpartition,
 )
 from .ms_deform_attn import ms_deform_attn_core  # noqa: F401
+from .zoo import (  # noqa: F401
+    OnePeaceDetector,
+    OnePeaceSegmenter,
+    OnePeaceVideoClassifier,
+)

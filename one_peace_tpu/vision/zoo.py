@@ -1,0 +1,212 @@
+"""Assembled vision-transfer models (the reference's config entry points).
+
+One class per downstream app, mirroring the reference's mm-framework
+configs so a user can build + load in two lines instead of wiring the
+backbone/neck/head modules by hand:
+
+- :class:`OnePeaceDetector` — windowed trunk + learned SimpleFeature-
+  Pyramid + FCOS proposer + 3-stage cascade box head + mask head
+  (ref det/configs/onepeace/cascade_mask_rcnn_vitdet_50ep.py assembly:
+  ViTDet-style single-scale trunk behind a cascade Mask R-CNN);
+- :class:`OnePeaceSegmenter` — ViT-Adapter backbone + UperNet head
+  (ref seg/configs/onepeace/upernet_onepeace_adapter_896_80k_*.py);
+- :class:`OnePeaceVideoClassifier` — AIM temporal-adapter backbone +
+  mean-CLS recognizer head (ref video/configs/onepeace/*_k400.py).
+
+Each exposes ``init(key, dtype)`` and ``load_pretrained(sd, key, dtype)``
+— ``sd`` being a pretrain ``one-peace.pt``-style flat dict (or the
+stripped vision variant); trunk weights come from the checkpoint through
+utils/vision_checkpoint.py, task heads/adapters stay freshly initialized,
+exactly like the reference's strict=False load.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cascade_rcnn import CascadeBoxHead, MaskHead
+from .det_backbone import DetBackbone, SimpleFeaturePyramid
+from .detection import FCOSHead
+from .upernet import UperNetHead
+from .video_backbone import VideoClassifierV2
+
+
+def _merge_into(base: Dict[str, Any], src: Any) -> Any:
+    """Overlay ``src`` onto ``base`` keeping base's structure: keys missing
+    from src stay fresh, keys absent from base are dropped (strict=False
+    load semantics), matching leaves must agree in shape."""
+    if not isinstance(base, dict):
+        assert np.shape(base) == np.shape(src), (np.shape(base), np.shape(src))
+        return src
+    out = {}
+    for k, v in base.items():
+        if isinstance(src, dict) and k in src:
+            out[k] = _merge_into(v, src[k])
+        else:
+            out[k] = v
+    return out
+
+
+def _cast_like(tree, dtype):
+    if dtype is None:
+        return jax.tree.map(jnp.asarray, tree)
+    return jax.tree.map(
+        lambda x: jnp.asarray(x).astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+        tree)
+
+
+class OnePeaceDetector:
+    """Cascade Mask R-CNN over the windowed ONE-PEACE trunk."""
+
+    PYRAMID_KEYS = ("p4", "p8", "p16", "p32")
+    STRIDES = (4, 8, 16, 32)
+
+    def __init__(self, num_classes: int = 80, image_size: int = 1024,
+                 fpn_channels: int = 256, with_masks: bool = True,
+                 **backbone_kw):
+        backbone_kw.setdefault("bucket_size", image_size // 16)
+        self.backbone = DetBackbone(**backbone_kw)
+        self.fpn = SimpleFeaturePyramid(in_dim=self.backbone.d,
+                                        out_channels=fpn_channels)
+        self.proposer = FCOSHead(in_channels=fpn_channels,
+                                 num_classes=num_classes,
+                                 strides=self.STRIDES)
+        self.box_head = CascadeBoxHead(in_channels=fpn_channels,
+                                       num_classes=num_classes)
+        self.mask_head = (MaskHead(in_channels=fpn_channels,
+                                   num_classes=num_classes)
+                          if with_masks else None)
+        self.num_classes = num_classes
+        self._feat_fn = None
+
+    def init(self, key, dtype=jnp.float32):
+        keys = jax.random.split(key, 5)
+        params = {
+            "backbone": self.backbone.init(keys[0], dtype),
+            "fpn": self.fpn.init(keys[1], dtype),
+            "proposer": self.proposer.init(keys[2], dtype),
+            "box_head": self.box_head.init(keys[3], dtype),
+        }
+        if self.mask_head is not None:
+            params["mask_head"] = self.mask_head.init(keys[4], dtype)
+        return params
+
+    def load_pretrained(self, sd, key=None, dtype=jnp.float32):
+        """Trunk from the pretrain checkpoint; neck + heads fresh."""
+        from ..utils.vision_checkpoint import convert_det_backbone
+
+        params = self.init(key if key is not None else jax.random.PRNGKey(0),
+                           dtype)
+        params["backbone"] = _cast_like(
+            convert_det_backbone(sd, self.backbone), dtype)
+        return params
+
+    # ------------------------------------------------------------------
+
+    def features(self, params, images: jnp.ndarray):
+        """images (B, 3, H, W) -> pyramid dict + FCOS outputs (jittable)."""
+        f16 = self.backbone(params["backbone"], images)
+        pyr = self.fpn(params["fpn"], f16)
+        feats = [pyr[k] for k in self.PYRAMID_KEYS]
+        proposals = self.proposer(params["proposer"], feats)
+        return pyr, proposals
+
+    def detect(self, params, images: jnp.ndarray,
+               score_thresh: float = 0.05, max_proposals: int = 512,
+               max_dets: int = 100) -> List[Dict[str, np.ndarray]]:
+        """Full inference: jitted trunk/neck/heads + host NMS decode."""
+        if self._feat_fn is None:
+            self._feat_fn = jax.jit(self.features)
+        pyr, outs = self._feat_fn(params, images)
+        props = self.proposer.decode(outs, score_thresh=score_thresh,
+                                     max_dets=max_proposals)
+        results = []
+        for b, p in enumerate(props):
+            n = len(p["boxes"])
+            if n == 0:
+                results.append({"boxes": np.zeros((0, 4), np.float32),
+                                "scores": np.zeros((0,), np.float32),
+                                "labels": np.zeros((0,), np.int64)})
+                continue
+            boxes = jnp.asarray(p["boxes"])
+            bidx = jnp.full((n,), b, jnp.int32)
+            scores, refined = self.box_head(
+                params["box_head"], pyr["p16"], boxes, bidx)
+            dets = self.box_head.decode(scores, refined,
+                                        score_thresh=score_thresh,
+                                        max_dets=max_dets)
+            if self.mask_head is not None and len(dets["boxes"]):
+                db = jnp.asarray(dets["boxes"])
+                di = jnp.full((len(dets["boxes"]),), b, jnp.int32)
+                ml = np.asarray(self.mask_head(
+                    params["mask_head"], pyr["p16"], db, di), np.float32)
+                sel = ml[np.arange(len(dets["labels"])), :, :,
+                         np.asarray(dets["labels"])]
+                dets["masks"] = 1.0 / (1.0 + np.exp(-sel))
+            results.append(dets)
+        return results
+
+
+class OnePeaceSegmenter:
+    """ViT-Adapter backbone + UperNet (896px ADE20k recipe assembly)."""
+
+    def __init__(self, enc_cfg, num_classes: int = 150, channels: int = 512,
+                 **adapter_kw):
+        from .adapter import OnePeaceAdapterBackbone
+
+        self.backbone = OnePeaceAdapterBackbone(enc_cfg, **adapter_kw)
+        self.head = UperNetHead([enc_cfg.embed_dim] * 4, channels=channels,
+                                num_classes=num_classes)
+        self.num_classes = num_classes
+
+    def init(self, key, dtype=jnp.float32):
+        k1, k2 = jax.random.split(key)
+        return {"backbone": self.backbone.init(k1, dtype),
+                "head": self.head.init(k2, dtype)}
+
+    def load_pretrained(self, sd, key=None, dtype=jnp.float32):
+        """Image adapter + encoder layers from the checkpoint (with abs/rel
+        position-table interpolation to the segmentation resolution);
+        spatial priors, interactions and the UperNet head stay fresh."""
+        from ..utils.checkpoint_convert import convert_wrapper, upgrade_state_dict
+
+        params = self.init(key if key is not None else jax.random.PRNGKey(0),
+                           dtype)
+        enc_cfg = self.backbone.cfg
+        sd = upgrade_state_dict(dict(sd), enc_cfg.layers)
+        wrapper = convert_wrapper(sd, "encoder_wrapper", enc_cfg)
+        fusion = wrapper["fusion"]
+        layers = dict(fusion["layers"])
+        src = {"image_adapter": wrapper["image_adapter"],
+               "encoder": {"layers": layers}}
+        if "image_layer_norm" in fusion:
+            src["encoder"]["image_layer_norm"] = fusion["image_layer_norm"]
+        params["backbone"] = _cast_like(
+            _merge_into(params["backbone"], src), dtype)
+        return params
+
+    def logits(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        """images (B, 3, H, W) -> (B, H/4, W/4, num_classes) (jittable)."""
+        feats = self.backbone(params["backbone"], images)
+        return self.head(params["head"], feats)
+
+    __call__ = logits
+
+
+class OnePeaceVideoClassifier(VideoClassifierV2):
+    """K400 recognizer with pretrain loading."""
+
+    def load_pretrained(self, sd, key=None, dtype=jnp.float32):
+        from ..utils.vision_checkpoint import convert_video_backbone
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        params = self.init(k1, dtype)
+        params["backbone"] = _cast_like(
+            convert_video_backbone(sd, self.backbone, key=k2), dtype)
+        return params
