@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -186,12 +187,31 @@ class Trainer:
             return metrics
 
     def valid_step(self, batch, criterion=None):
+        """Jitted validation step, cached per (criterion, batch-shape)
+        bucket — the 40-layer model must never dispatch op-by-op on TPU
+        (same rationale as the task eval loops' jit_eval)."""
         criterion = criterion or self.criterion
         batch = jax.tree.map(jnp.asarray, batch)
-        params = cast_floats(self.params, self.compute_dtype) \
-            if self.compute_dtype != jnp.float32 else self.params
-        loss, metrics = criterion(self.model, params, batch, rng=None,
-                                  deterministic=True)
+        batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
+        key = (id(criterion), tuple(sorted(
+            (k, np.shape(v), str(getattr(v, "dtype", type(v))))
+            for k, v in batch.items())))
+        if not hasattr(self, "_valid_fns"):
+            self._valid_fns = {}
+        if key not in self._valid_fns:
+            compute_dtype = self.compute_dtype
+            model = self.model
+
+            @jax.jit
+            def vfn(params, batch):
+                p_c = cast_floats(params, compute_dtype) \
+                    if compute_dtype != jnp.float32 else params
+                _, metrics = criterion(model, p_c, batch, rng=None,
+                                       deterministic=True)
+                return metrics
+
+            self._valid_fns[key] = vfn
+        metrics = self._valid_fns[key](self.params, batch)
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------------

@@ -314,3 +314,26 @@ def test_train_step_with_shard_map_pallas_attention(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(losses["pallas"][1], losses["xla"][1],
                                rtol=2e-3, atol=2e-3)
+
+
+def test_valid_step_jitted_and_bucketed(trained):
+    """valid_step compiles once per batch-shape bucket and matches the
+    training criterion's metrics."""
+    cfg, trainer, _ = trained
+    rs = np.random.RandomState(1)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    m1 = trainer.valid_step(batch)
+    assert np.isfinite(m1["loss"])
+    n_fns = len(trainer._valid_fns)
+    m2 = trainer.valid_step(batch)  # same bucket: no new compile
+    assert len(trainer._valid_fns) == n_fns
+    assert m2["loss"] == m1["loss"]
+    batch2 = {
+        "src_tokens": rs.randint(5, 99, (8, 12)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    trainer.valid_step(batch2)  # new shape: new bucket
+    assert len(trainer._valid_fns) == n_fns + 1
