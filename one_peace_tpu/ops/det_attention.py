@@ -109,6 +109,9 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp, nk
             lstat_ref[...] = jnp.zeros_like(lstat_ref)
 
         if has_toep:
+            # NOTE: waiting later (inside the head loop, to overlap the DMA
+            # with the first qk matmul) extends the slab live range and
+            # blows the 16 MB scoped-VMEM budget at the 512/2048 tiling
             copy.wait()
 
         for i in range(m):
