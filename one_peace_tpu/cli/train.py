@@ -118,10 +118,17 @@ def main(argv: Optional[list] = None) -> int:
     max_update = cfg.optimization.max_update or int(1e9)
     max_epoch = cfg.optimization.max_epoch or int(1e9)
 
+    import jax
+
     while trainer.step < max_update and itr.epoch <= max_epoch:
         epoch = itr.epoch
         with aggregate(new_root=True) as agg:
             for batch in itr.next_epoch_itr():
+                if cfg.common.profile_dir:
+                    if trainer.step == cfg.common.profile_start:
+                        jax.profiler.start_trace(cfg.common.profile_dir)
+                    elif trainer.step == cfg.common.profile_stop:
+                        jax.profiler.stop_trace()
                 metrics = trainer.train_step(batch)
                 for k, v in metrics.items():
                     log_scalar(k, v)
@@ -134,10 +141,12 @@ def main(argv: Optional[list] = None) -> int:
             progress.print(agg.as_dict(), trainer.step)
 
         if cfg.task.valid_data and epoch % cfg.dataset.validate_interval == 0:
-            stats = validate(cfg, task, model, trainer, progress)
+            with jax.profiler.TraceAnnotation("validate"):
+                stats = validate(cfg, task, model, trainer, progress)
             _maybe_save_best(cfg, trainer, stats)
         if epoch % cfg.checkpoint.save_interval == 0:
-            save(trainer.step)
+            with jax.profiler.TraceAnnotation("checkpoint_save"):
+                save(trainer.step)
     ckpt.wait_for_saves()
     return 0
 

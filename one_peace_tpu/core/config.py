@@ -260,6 +260,12 @@ class CommonConfig:
     log_format: str = "simple"
     log_interval: int = 10
     tensorboard_logdir: str = ""
+    # XLA/TPU profiler capture: write a trace of update steps
+    # [profile_start, profile_stop) to profile_dir (jax.profiler works on
+    # TPU incl. the axon tunnel; view in TensorBoard / Perfetto)
+    profile_dir: str = ""
+    profile_start: int = 10
+    profile_stop: int = 12
 
 
 @dataclass

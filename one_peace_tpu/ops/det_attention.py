@@ -93,14 +93,21 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp, nk
         qi = pl.program_id(2)
         ki = pl.program_id(3)
 
-        if has_toep:
-            # dy-slab this (q-tile, k-tile) pair needs: dy = qy - kh with
-            # qy in [c*qi, c*qi+c), kh in [ck*ki, ck*ki+ck)
-            start = c * qi - ck * ki - (ck - 1) + (hg - 1)
-            copy = pltpu.make_async_copy(
+        def slab_copy(k_step, slot):
+            # dy-slab a (q-tile, k-tile) pair needs: dy = qy - kh with
+            # qy in [c*qi, c*qi+c), kh in [ck*k_step, ck*k_step+ck)
+            start = c * qi - ck * k_step - (ck - 1) + (hg - 1)
+            return pltpu.make_async_copy(
                 toep_hbm.at[pl.ds(hi * m, m), pl.ds(start, c + ck - 1)],
-                slab_ref, sem)
-            copy.start()
+                slab_ref.at[slot], sem.at[slot])
+
+        slot = jax.lax.rem(ki, 2)
+        if has_toep:
+            # double-buffered prefetch: step ki's slab was issued by step
+            # ki-1; each sequence cold-starts at ki == 0
+            @pl.when(ki == 0)
+            def _():
+                slab_copy(0, 0).start()
 
         @pl.when(ki == 0)
         def _():
@@ -109,10 +116,11 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp, nk
             lstat_ref[...] = jnp.zeros_like(lstat_ref)
 
         if has_toep:
-            # NOTE: waiting later (inside the head loop, to overlap the DMA
-            # with the first qk matmul) extends the slab live range and
-            # blows the 16 MB scoped-VMEM budget at the 512/2048 tiling
-            copy.wait()
+            slab_copy(ki, slot).wait()
+            if nk > 1:
+                @pl.when(ki + 1 < nk)
+                def _():
+                    slab_copy(ki + 1, jax.lax.rem(ki + 1, 2)).start()
 
         for i in range(m):
             sl = slice(i * dh, (i + 1) * dh)
@@ -122,7 +130,8 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp, nk
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scaling
             if has_toep:
-                t = slab_ref[i]  # (c+ck-1, wg, wg_pad); dy slot = a-b+ck-1
+                # both parity buffers load from VMEM; select the live one
+                t = jnp.where(slot == 0, slab_ref[0, i], slab_ref[1, i])
                 rows = [
                     jnp.concatenate(
                         [t[a - b + ck - 1][:, :wg] for b in range(ck)],
@@ -136,9 +145,9 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp, nk
                 # expand bh over each kh-slot's wg columns via a tiny MXU
                 # matmul against a static block indicator (Mosaic cannot
                 # shape-cast (blk_q, ck, wg) -> (blk_q, blk_k))
-                slot = jax.lax.broadcasted_iota(jnp.int32, (ck, blk_k), 0)
+                kh_row = jax.lax.broadcasted_iota(jnp.int32, (ck, blk_k), 0)
                 col = jax.lax.broadcasted_iota(jnp.int32, (ck, blk_k), 1)
-                expand = (col // wg == slot).astype(jnp.float32)
+                expand = (col // wg == kh_row).astype(jnp.float32)
                 s = s + jax.lax.dot_general(
                     bh, expand, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
@@ -189,11 +198,12 @@ def _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling):
         m = 1
     import os
 
-    # blk_k default 2048: measured on v5e at the 64x64 grid, 512/2048
-    # tiles run the kernel in 7.66 ms vs 10.03 ms at 512/512 (fewer
-    # k-loop iterations amortize the per-step bookkeeping)
+    # tile defaults measured on v5e (64x64 grid, toep+decomp): 512/512
+    # 10.0 ms -> 512/2048 7.66 ms (fewer k-steps amortize bookkeeping) ->
+    # 512/1024 + double-buffered slab prefetch 7.60 ms.  2048 with two
+    # slab slots exceeds the 16 MB scoped-VMEM budget, so 1024 it is.
     tq = int(os.environ.get("ONE_PEACE_DET_BLKQ", "512"))
-    tk = int(os.environ.get("ONE_PEACE_DET_BLKK", "2048"))
+    tk = int(os.environ.get("ONE_PEACE_DET_BLKK", "1024"))
     c = _pick_rows(hg, wg, target=tq)
     ck = _pick_rows(hg, wg, target=tk)
     if c is None or ck is None:
@@ -255,8 +265,8 @@ def _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling):
             pltpu.VMEM((blk_q, m * dh), jnp.float32),        # acc
             pltpu.VMEM((m, blk_q), jnp.float32),             # running max
             pltpu.VMEM((m, blk_q), jnp.float32),             # running sum
-            pltpu.VMEM((m, c + ck - 1, wg, wg_pad), jnp.float32),  # toep slab
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, m, c + ck - 1, wg, wg_pad), jnp.float32),  # 2-slot slab
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(q, k, v, bh_arg, bw_arg, toep_arg)

@@ -170,8 +170,9 @@ class Trainer:
 
     def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
         with jax.profiler.TraceAnnotation("train_step"):
-            batch = jax.tree.map(jnp.asarray, batch)
-            batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
+            with jax.profiler.TraceAnnotation("batch_transfer"):
+                batch = jax.tree.map(jnp.asarray, batch)
+                batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
             self._rng, rng = jax.random.split(self._rng)
             t0 = time.time()
             self.params, self.opt_state, metrics, self.loss_scale = self._train_step(
@@ -182,7 +183,8 @@ class Trainer:
             self.train_time += metrics["step_time"]
             self.step += 1
             if self.ema is not None:
-                self.ema.step(self.params, self.step)
+                with jax.profiler.TraceAnnotation("ema_update"):
+                    self.ema.step(self.params, self.step)
             self._metrics_hist.append(metrics)
             return metrics
 
