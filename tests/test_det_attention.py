@@ -142,3 +142,43 @@ def test_kernel_asymmetric_tiles(monkeypatch):
                             (HG, WG), SCALING, HEADS)
     np.testing.assert_allclose(np.asarray(out.reshape(b, L, -1)),
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("use_toep,use_decomp",
+                         [(True, True), (True, False), (False, True)])
+def test_pallas_bwd_matches_xla_vjp(use_toep, use_decomp, monkeypatch):
+    """The two-pass Pallas backward == the materializing einsum vjp for
+    every bias combination (dq/dk/dv/dtoep/drel_h/drel_w)."""
+    monkeypatch.setenv("ONE_PEACE_DET_BLKQ", "16")   # c = 2: several q tiles
+    monkeypatch.setenv("ONE_PEACE_DET_BWD_BLKK", "24")  # ck != c in the bwd
+    rs = np.random.RandomState(7)
+    q, k, v = _qkv(rs, b=2)
+    toep = (da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET)
+            if use_toep else None)
+    rel_h = (jnp.asarray(0.1 * rs.randn(2 * HG - 1, DH), jnp.float32)
+             if use_decomp else None)
+    rel_w = (jnp.asarray(0.1 * rs.randn(2 * WG - 1, DH), jnp.float32)
+             if use_decomp else None)
+    b = q.shape[0]
+    args = [a for a in (toep, rel_h, rel_w) if a is not None]
+
+    def loss(impl):
+        def f(q, k, v, *rest):
+            it = iter(rest)
+            tp = next(it) if use_toep else None
+            rh = next(it) if use_decomp else None
+            rw = next(it) if use_decomp else None
+            monkeypatch.setenv("ONE_PEACE_DET_BWD", impl)
+            o = da.det_flash_attention(q, k, v, tp, rh, rw, (HG, WG),
+                                       SCALING)
+            return jnp.sum(jnp.sin(o))
+        return f
+
+    n = 3 + len(args)
+    g_pal = jax.grad(loss("pallas"), argnums=tuple(range(n)))(q, k, v, *args)
+    g_xla = jax.grad(loss("xla"), argnums=tuple(range(n)))(q, k, v, *args)
+    names = ["q", "k", "v"] + (["toep"] if use_toep else []) + \
+        (["rel_h", "rel_w"] if use_decomp else [])
+    for name, a, want in zip(names, g_pal, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
