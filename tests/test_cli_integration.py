@@ -99,3 +99,24 @@ def test_image_classify_task_with_mixup(tmp_path):
     batch = next(iter(itr.next_epoch_itr()))
     assert batch["target"].shape == (4, 4)
     np.testing.assert_allclose(batch["target"].sum(1), 1.0, rtol=1e-5)
+
+
+def test_train_cli_profiler_capture(corpus, tmp_path):
+    """common.profile_dir captures a jax.profiler trace over the
+    [profile_start, profile_stop) update window."""
+    import os
+
+    from one_peace_tpu.cli.train import main
+
+    root, tsv, valid_json = corpus
+    prof = str(tmp_path / "prof")
+    ov = _overrides(root, tsv, valid_json) + [
+        f"checkpoint.save_dir={tmp_path}/ckpts",
+        f"common.profile_dir={prof}",
+        "common.profile_start=1",
+        "common.profile_stop=2",
+    ]
+    assert main(ov) == 0
+    found = [f for _, _, fs in os.walk(prof) for f in fs]
+    assert any(f.endswith(".xplane.pb") or f.endswith(".json.gz")
+               for f in found), found
