@@ -105,9 +105,18 @@ def main(argv: Optional[list] = None) -> int:
     latest = ckpt.latest_checkpoint(cfg.checkpoint.save_dir)
     if latest and not cfg.checkpoint.reset_optimizer:
         logger.info("resuming from %s", latest)
-        state = ckpt.restore_train_state(latest, full_state())
+        try:
+            state = ckpt.restore_train_state(latest, full_state())
+        except Exception:
+            # legacy bundle (flat trainer state at top level, no iterator/
+            # best-metric): restore what exists instead of refusing to boot
+            logger.warning("checkpoint %s predates the nested train-state "
+                           "bundle; resuming trainer state only", latest)
+            state = {"trainer": ckpt.restore_train_state(
+                latest, trainer.state_dict())}
         trainer.load_state_dict(state["trainer"])
-        itr.load_state_dict(state["iterator"])
+        if "iterator" in state:
+            itr.load_state_dict(state["iterator"])
         best = float(state.get("best_metric", float("nan")))
         _BEST_METRIC["value"] = None if best != best else best
 
@@ -120,15 +129,23 @@ def main(argv: Optional[list] = None) -> int:
 
     import jax
 
+    tracing = False
     while trainer.step < max_update and itr.epoch <= max_epoch:
         epoch = itr.epoch
         with aggregate(new_root=True) as agg:
             for batch in itr.next_epoch_itr():
                 if cfg.common.profile_dir:
-                    if trainer.step == cfg.common.profile_start:
+                    # window membership, not equality: resume can land
+                    # inside [start, stop), and stop must never fire
+                    # without a matching start
+                    in_window = (cfg.common.profile_start <= trainer.step
+                                 < cfg.common.profile_stop)
+                    if in_window and not tracing:
                         jax.profiler.start_trace(cfg.common.profile_dir)
-                    elif trainer.step == cfg.common.profile_stop:
+                        tracing = True
+                    elif tracing and not in_window:
                         jax.profiler.stop_trace()
+                        tracing = False
                 metrics = trainer.train_step(batch)
                 for k, v in metrics.items():
                     log_scalar(k, v)
@@ -147,6 +164,8 @@ def main(argv: Optional[list] = None) -> int:
         if epoch % cfg.checkpoint.save_interval == 0:
             with jax.profiler.TraceAnnotation("checkpoint_save"):
                 save(trainer.step)
+    if tracing:  # run ended inside the profile window
+        jax.profiler.stop_trace()
     ckpt.wait_for_saves()
     return 0
 

@@ -189,10 +189,10 @@ class OnePeaceHubInterface:
         size = self.task_cfg.patch_image_size
         if isinstance(img, (str, os.PathLike)):
             img = Image.open(img).convert("RGB")
-        if hasattr(img, "resize"):  # PIL image: bicubic resize like the ref
+        if isinstance(img, Image.Image):  # bicubic resize like the ref
             img = img.resize((size, size), Image.BICUBIC)
             arr = np.asarray(img, np.float32) / 255.0
-        else:
+        else:  # ndarray: pre-resized, scaled to [0, 1]
             arr = np.asarray(img, np.float32)
         arr = (arr - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
         return arr.transpose(2, 0, 1)  # CHW for API parity
@@ -213,18 +213,18 @@ class OnePeaceHubInterface:
                 img = Image.open(item).convert("RGB")
             else:
                 img = item
-            if hasattr(img, "size"):
+            is_pil = isinstance(img, Image.Image)
+            if is_pil:
                 w, h = img.size
             else:
-                h, w = img.shape[:2]
+                h, w = np.shape(img)[:2]
             widths.append(w)
             heights.append(h)
             if on_device:
                 from .ops.preprocess import resize_normalize
 
-                raw = np.asarray(img, np.uint8) if hasattr(img, "size") \
-                    else np.asarray(img)
-                if raw.dtype != np.uint8:  # pre-scaled float array input
+                raw = np.asarray(img)
+                if raw.dtype != np.uint8:  # pre-scaled [0,1] float input
                     raw = np.clip(raw * 255.0, 0, 255).astype(np.uint8)
                 arrays.append(resize_normalize(
                     jnp.asarray(raw), self.task_cfg.patch_image_size,

@@ -55,3 +55,15 @@ def gather_ragged(local: np.ndarray) -> np.ndarray:
     padded[: local.shape[0]] = local
     all_vals = np.asarray(multihost_utils.process_allgather(padded))
     return strip_padding(all_vals, lens)
+
+
+def allsum(local) -> np.ndarray:
+    """Sum a scalar or fixed-shape array across processes (identity with
+    one process) — the merge rule for counter-style reducers (Accuracy
+    correct/total, MIoU intersection/union, ...)."""
+    if jax.process_count() == 1:
+        return np.asarray(local)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(local))).sum(axis=0)

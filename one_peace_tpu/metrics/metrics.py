@@ -90,8 +90,12 @@ class Accuracy:
             self.total += len(targets)
 
     def merge_results(self) -> Dict:
-        return {"accuracy": 100.0 * self.ncorrect / max(self.total, 1),
-                "count": self.total}
+        from .gather import allsum
+
+        ncorrect = float(allsum(self.ncorrect))
+        total = int(allsum(self.total))
+        return {"accuracy": 100.0 * ncorrect / max(total, 1),
+                "count": total}
 
 
 class IouAcc:
@@ -118,8 +122,12 @@ class IouAcc:
         self.total += len(ious)
 
     def merge_results(self) -> Dict:
-        return {"acc@0.5": 100.0 * self.ncorrect / max(self.total, 1),
-                "count": self.total}
+        from .gather import allsum
+
+        ncorrect = float(allsum(self.ncorrect))
+        total = int(allsum(self.total))
+        return {"acc@0.5": 100.0 * ncorrect / max(total, 1),
+                "count": total}
 
 
 class MAP:
@@ -134,8 +142,11 @@ class MAP:
     def merge_results(self) -> Dict:
         from sklearn.metrics import average_precision_score
 
-        preds = 1.0 / (1.0 + np.exp(-np.concatenate(self.logits)))
-        targets = np.concatenate(self.targets)
+        from .gather import gather_ragged
+
+        logits = gather_ragged(np.concatenate(self.logits))
+        targets = gather_ragged(np.concatenate(self.targets))
+        preds = 1.0 / (1.0 + np.exp(-logits))
         ap = average_precision_score(targets, preds, average=None)
         return {"map": 100.0 * float(np.mean(ap)), "count": len(targets)}
 
@@ -166,9 +177,13 @@ class MIoU:
             self.union[c] += np.logical_or(p, t).sum()
 
     def merge_results(self) -> Dict:
-        present = self.union > 0
+        from .gather import allsum
+
+        intersection = allsum(self.intersection)
+        union = allsum(self.union)
+        present = union > 0
         iou = np.zeros(self.num_classes, np.float64)
-        iou[present] = self.intersection[present] / self.union[present]
+        iou[present] = intersection[present] / union[present]
         miou = float(iou[present].mean()) if present.any() else 0.0
         return {"miou": 100.0 * miou,
                 "acc_classes": int(present.sum())}

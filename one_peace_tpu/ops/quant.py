@@ -27,7 +27,7 @@ def quantize_weight(w: jnp.ndarray):
     return {"w_q": wq, "w_scale": scale[0]}
 
 
-def _use_pallas_int8(k: int) -> bool:
+def _use_pallas_int8() -> bool:
     """XLA's int8 dot is the default: measured in-model on v5e (8-layer
     proxy, image fwd B=32) the full int8 FFN path runs 968.6 img/s vs
     bf16's 784.5 (+23%) — XLA fuses the requant/dequant into neighbors.
@@ -46,7 +46,7 @@ def quantized_linear(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
     sx = jnp.maximum(sx, 1e-8)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    if _use_pallas_int8(xq.shape[-1]):
+    if _use_pallas_int8():
         from .quant_pallas import int8_matmul
 
         y = int8_matmul(xq, params["w_q"], sx[:, 0], params["w_scale"],

@@ -179,12 +179,18 @@ def smooth_l1(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
 
 
 def cascade_box_loss(head: "CascadeBoxHead", params, features, proposals,
-                     batch_indices, gt_boxes, gt_labels, gt_valid):
+                     batch_indices, gt_boxes, gt_labels, gt_valid,
+                     prop_valid=None):
     """Training loss over the cascade stages: CE on stage-averaged-free
     per-stage logits + smooth-L1 on deltas for foreground proposals;
     proposals refined stage to stage with stop_gradient (standard cascade
-    training).  All shapes fixed; padded GTs masked via gt_valid."""
+    training).  All shapes fixed; padded GTs masked via gt_valid, and
+    padded *proposals* (callers that jitter a fixed GT budget produce
+    degenerate boxes in the invalid slots) masked via prop_valid — without
+    it the CE mean is dominated by 'background at the origin' noise."""
     boxes = proposals
+    pv = (jnp.ones(proposals.shape[:1], jnp.float32) if prop_valid is None
+          else prop_valid.astype(jnp.float32))
     total_cls = 0.0
     total_box = 0.0
     metrics = {}
@@ -197,14 +203,15 @@ def cascade_box_loss(head: "CascadeBoxHead", params, features, proposals,
                            spatial_scale=head.spatial_scale)
         cls_logits, deltas = head._stage(params["stages"][s], pooled)
         lp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), -1)
-        cls_loss = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0].mean()
+        ce = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0]
+        cls_loss = jnp.sum(ce * pv) / jnp.maximum(pv.sum(), 1.0)
         delta_targets = encode_deltas(boxes, matched, STAGE_DELTA_WEIGHTS[s])
         box_err = smooth_l1(deltas.astype(jnp.float32) - delta_targets).sum(-1)
-        fgf = fg.astype(jnp.float32)
+        fgf = fg.astype(jnp.float32) * pv
         box_loss = jnp.sum(box_err * fgf) / jnp.maximum(fgf.sum(), 1.0)
         total_cls = total_cls + cls_loss
         total_box = total_box + box_loss
-        metrics[f"stage{s}_fg"] = fgf.mean()
+        metrics[f"stage{s}_fg"] = jnp.sum(fgf) / jnp.maximum(pv.sum(), 1.0)
         # refine proposals for the next stage (detached, as in the paper)
         boxes = jax.lax.stop_gradient(
             apply_deltas(boxes, deltas.astype(jnp.float32),

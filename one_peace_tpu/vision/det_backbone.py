@@ -161,6 +161,28 @@ def decomposed_rel_bias(q: jnp.ndarray, rel_h: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def init_hmlp(key, d: int, dtype=jnp.float32):
+    """hMLP patch-embed stem (4x + 2x + 2x convs = stride 16), shared by
+    the det and video backbones."""
+    keys = jax.random.split(key, 3)
+    return {
+        "conv1": init_conv2d(keys[0], 3, d // 4, 4, dtype=dtype),
+        "ln1": init_layer_norm(d // 4, dtype),
+        "conv2": init_conv2d(keys[1], d // 4, d // 4, 2, dtype=dtype),
+        "ln2": init_layer_norm(d // 4, dtype),
+        "conv3": init_conv2d(keys[2], d // 4, d, 2, dtype=dtype),
+    }
+
+
+def hmlp_stem(p, x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC image -> (B, H/16, W/16, D) patch features."""
+    x = conv2d(p["conv1"], x, stride=4)
+    x = gelu(layer_norm(p["ln1"], x))
+    x = conv2d(p["conv2"], x, stride=2)
+    x = gelu(layer_norm(p["ln2"], x))
+    return conv2d(p["conv3"], x, stride=2)
+
+
 class DetImageAdapter:
     """hMLP embed + abs pos, no CLS (ref onepeace.py:78-158)."""
 
@@ -172,29 +194,17 @@ class DetImageAdapter:
 
     def init(self, key, dtype=jnp.float32):
         d = self.d
-        keys = jax.random.split(key, 5)
+        keys = jax.random.split(key, 2)
         scale = d ** -0.5
         return {
-            "hmlp": {
-                "conv1": init_conv2d(keys[0], 3, d // 4, 4, dtype=dtype),
-                "ln1": init_layer_norm(d // 4, dtype),
-                "conv2": init_conv2d(keys[1], d // 4, d // 4, 2, dtype=dtype),
-                "ln2": init_layer_norm(d // 4, dtype),
-                "conv3": init_conv2d(keys[2], d // 4, d, 2, dtype=dtype),
-            },
+            "hmlp": init_hmlp(keys[0], d, dtype),
             "pos_embed": (scale * jax.random.normal(
-                keys[3], (self.bucket_size ** 2 + 1, d))).astype(dtype),
+                keys[1], (self.bucket_size ** 2 + 1, d))).astype(dtype),
         }
 
     def __call__(self, params, images: jnp.ndarray) -> jnp.ndarray:
         """images (B, 3, H, W) -> (B, H/16, W/16, D) with abs pos added."""
-        x = images.transpose(0, 2, 3, 1)  # NHWC
-        p = params["hmlp"]
-        x = conv2d(p["conv1"], x, stride=4)
-        x = gelu(layer_norm(p["ln1"], x))
-        x = conv2d(p["conv2"], x, stride=2)
-        x = gelu(layer_norm(p["ln2"], x))
-        x = conv2d(p["conv3"], x, stride=2)
+        x = hmlp_stem(params["hmlp"], images.transpose(0, 2, 3, 1))
         b, h, w, d = x.shape
         pos = params["pos_embed"][1:].reshape(
             self.bucket_size, self.bucket_size, d)[:h, :w]
@@ -362,9 +372,18 @@ class DetBackbone:
 
         from ..ops.det_attention import det_flash_supported
 
+        # the kernel decision is per-grid: the global layers attend over
+        # (h, w) and the windowed layers over (window, window) — a legal
+        # tiling for one says nothing about the other (e.g. window 14 has
+        # no Mosaic-legal row divisor; it must fall back to XLA even when
+        # the 64x64 global grid runs the kernel)
+        dh = self.d // self.heads
         use_kernel = (self.attn_impl == "pallas"
-                      and det_flash_supported((h, w), self.heads,
-                                              self.d // self.heads))
+                      and det_flash_supported((h, w), self.heads, dh))
+        use_kernel_win = (self.attn_impl == "pallas"
+                          and det_flash_supported(
+                              (self.window_size, self.window_size),
+                              self.heads, dh))
 
         bias = bias_win = toep = toep_win = None
         if self.shared_rp_bias:
@@ -379,8 +398,6 @@ class DetBackbone:
                     table, self.pretrain_bucket_size, self.bucket_size)
                 off = self.bucket_size - h
                 toep = full_t[:, off:off + 2 * h - 1, :w, :w]
-                toep_win = toeplitz_tables(
-                    table, self.pretrain_bucket_size, self.window_size)
             else:
                 full = shared_bias_from_table(
                     table, self.pretrain_bucket_size, self.bucket_size)
@@ -390,6 +407,12 @@ class DetBackbone:
                     self.bucket_size, self.bucket_size)
                 bias = full[:, :h, :w, :h, :w].reshape(
                     self.heads, h * w, h * w)
+            if use_kernel_win:
+                from ..ops.det_attention import toeplitz_tables
+
+                toep_win = toeplitz_tables(
+                    table, self.pretrain_bucket_size, self.window_size)
+            else:
                 bias_win = shared_bias_from_table(
                     table, self.pretrain_bucket_size, self.window_size)
 
@@ -411,7 +434,7 @@ class DetBackbone:
                 y = det_layer(lp, heads, y, ws, bias_win, g_dpr[i],
                               deterministic,
                               jax.random.fold_in(g_rng, i) if use_rng else None,
-                              toep=toep_win, use_kernel=use_kernel)
+                              toep=toep_win, use_kernel=use_kernel_win)
             y = det_layer(glob_params, heads, y, 0, bias, g_dpr[nwin],
                           deterministic,
                           jax.random.fold_in(g_rng, nwin) if use_rng else None,

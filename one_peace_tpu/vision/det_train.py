@@ -189,9 +189,11 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
     box_params = params["box_head"]
 
     def per_image(feat, p, gtb, gtl, gtv):
+        # gtv doubles as the proposal mask: proposals are jittered GTs,
+        # so invalid GT slots are degenerate boxes that must not train
         return cascade_box_loss(
             box_head, box_params, feat[None], p,
-            jnp.zeros((m,), jnp.int32), gtb, gtl, gtv)
+            jnp.zeros((m,), jnp.int32), gtb, gtl, gtv, prop_valid=gtv)
 
     closses, cmetrics = jax.vmap(per_image)(
         pyr["p16"], props, gt_boxes, gt_labels, gt_valid)

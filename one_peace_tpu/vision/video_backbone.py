@@ -34,15 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.components import (
-    conv2d,
     drop_path,
     gelu,
-    init_conv2d,
     init_layer_norm,
     init_linear,
     layer_norm,
     linear,
-    trunc_normal,
 )
 from ..models.rel_pos import make_image_bucket_position
 from ..ops.attention import multihead_attention
@@ -51,6 +48,16 @@ from ..ops.attention import multihead_attention
 # ---------------------------------------------------------------------------
 # adapter bottleneck (ref :21-39)
 # ---------------------------------------------------------------------------
+
+
+def subgrid_token_indices(h: int, w: int, bucket_size: int) -> np.ndarray:
+    """Token indices (CLS + row-major (h, w) sub-grid) into the
+    (bucket_size**2 + 1)-token position tables.  A flat ``[:h*w+1]``
+    prefix would pick the first h*w positions of the FULL bucket grid —
+    wrong whenever the frame grid is smaller than bucket_size."""
+    grid = (1 + np.arange(h)[:, None] * bucket_size
+            + np.arange(w)[None, :]).reshape(-1)
+    return np.concatenate([[0], grid])
 
 
 def init_adapter(key, d: int, mlp_ratio: float = 0.25, dtype=jnp.float32):
@@ -87,33 +94,19 @@ def _attn(params, heads: int, x, rel_bias=None):
 
 
 def init_video_layer(key, d: int, f: int, dtype=jnp.float32):
-    keys = jax.random.split(key, 12)
-    return {
-        "self_attn": {
-            "q_proj": {"w": trunc_normal(keys[0], (d, d), dtype=dtype),
-                       "b": jnp.zeros((d,), dtype)},
-            "k_proj": {"w": trunc_normal(keys[1], (d, d), dtype=dtype)},
-            "v_proj": {"w": trunc_normal(keys[2], (d, d), dtype=dtype),
-                       "b": jnp.zeros((d,), dtype)},
-            "out_proj": {"w": trunc_normal(keys[3], (d, d), dtype=dtype),
-                         "b": jnp.zeros((d,), dtype)},
-            "ln": init_layer_norm(d, dtype),
-        },
-        "self_attn_layer_norm": init_layer_norm(d, dtype),
-        "final_layer_norm": init_layer_norm(d, dtype),
-        "image_ffn": {
-            "wi_0": {"w": trunc_normal(keys[4], (d, f), dtype=dtype)},
-            "wi_1": {"w": trunc_normal(keys[5], (d, f), dtype=dtype)},
-            "ffn_ln": init_layer_norm(f, dtype),
-            "wo": {"w": trunc_normal(keys[6], (f, d), dtype=dtype),
-                   "b": jnp.zeros((d,), dtype)},
-        },
-        "gamma_1": jnp.full((d,), 1e-2, dtype),
-        "gamma_2": jnp.full((d,), 1e-2, dtype),
-        "t_adapter": init_adapter(keys[7], d, dtype=dtype),
-        "s_adapter": init_adapter(keys[8], d, dtype=dtype),
-        "mlp_adapter": init_adapter(keys[9], d, dtype=dtype),
-    }
+    """Trunk layer (shared structure with the det backbone, no rel-pos
+    tables) + the three AIM adapters."""
+    from .det_backbone import init_det_layer
+
+    k_base, k1, k2, k3 = jax.random.split(key, 4)
+    layer = init_det_layer(k_base, d, f, heads=1, input_size=1,
+                           use_decomposed_rel_pos=False, dtype=dtype)
+    layer.update({
+        "t_adapter": init_adapter(k1, d, dtype=dtype),
+        "s_adapter": init_adapter(k2, d, dtype=dtype),
+        "mlp_adapter": init_adapter(k3, d, dtype=dtype),
+    })
+    return layer
 
 
 def video_layer(params, heads: int, num_frames: int, adapter_scale: float,
@@ -172,23 +165,19 @@ class VideoBackbone:
         self.dpr = np.linspace(0, drop_path_rate, layers, dtype=np.float32)
 
     def init(self, key, dtype=jnp.float32):
+        from .det_backbone import init_hmlp
+
         d = self.d
-        keys = jax.random.split(key, 8)
+        keys = jax.random.split(key, 5)
         scale = d ** -0.5
-        layer_keys = jax.random.split(keys[6], self.layers)
+        layer_keys = jax.random.split(keys[3], self.layers)
         num_rel = (2 * self.bucket_size - 1) ** 2 + 3
         return {
-            "hmlp": {
-                "conv1": init_conv2d(keys[0], 3, d // 4, 4, dtype=dtype),
-                "ln1": init_layer_norm(d // 4, dtype),
-                "conv2": init_conv2d(keys[1], d // 4, d // 4, 2, dtype=dtype),
-                "ln2": init_layer_norm(d // 4, dtype),
-                "conv3": init_conv2d(keys[2], d // 4, d, 2, dtype=dtype),
-            },
+            "hmlp": init_hmlp(keys[0], d, dtype),
             "cls_embedding": (scale * jax.random.normal(
-                keys[3], (1, 1, d))).astype(dtype),
+                keys[1], (1, 1, d))).astype(dtype),
             "pos_embed": (scale * jax.random.normal(
-                keys[4], (self.bucket_size ** 2 + 1, d))).astype(dtype),
+                keys[2], (self.bucket_size ** 2 + 1, d))).astype(dtype),
             # zero-init like the reference (ref :158)
             "temporal_embedding": jnp.zeros((1, self.num_frames, d), dtype),
             "rel_pos_table": jnp.zeros((num_rel, self.heads), dtype),
@@ -214,19 +203,19 @@ class VideoBackbone:
         """frames (B, T, 3, H, W) -> (B*T, N, D) token features (CLS at 0)."""
         b, t = frames.shape[:2]
         assert t == self.num_frames, (t, self.num_frames)
-        x = frames.reshape((b * t,) + frames.shape[2:]).transpose(0, 2, 3, 1)
-        p = params["hmlp"]
-        x = conv2d(p["conv1"], x, stride=4)
-        x = gelu(layer_norm(p["ln1"], x))
-        x = conv2d(p["conv2"], x, stride=2)
-        x = gelu(layer_norm(p["ln2"], x))
-        x = conv2d(p["conv3"], x, stride=2)
+        from .det_backbone import hmlp_stem
+
+        x = hmlp_stem(params["hmlp"], frames.reshape(
+            (b * t,) + frames.shape[2:]).transpose(0, 2, 3, 1))
         bt, h, w, d = x.shape
+        assert h <= self.bucket_size and w <= self.bucket_size, \
+            (h, w, self.bucket_size)
         x = x.reshape(bt, h * w, d)
         cls = jnp.broadcast_to(params["cls_embedding"].astype(x.dtype),
                                (bt, 1, d))
         x = jnp.concatenate([cls, x], axis=1)
-        x = x + params["pos_embed"][: h * w + 1].astype(x.dtype)
+        tok_idx = subgrid_token_indices(h, w, self.bucket_size)
+        x = x + params["pos_embed"][tok_idx].astype(x.dtype)
 
         # temporal embedding over frames (ref :195-200)
         n = x.shape[1]
@@ -234,7 +223,8 @@ class VideoBackbone:
         x = x + params["temporal_embedding"].astype(x.dtype)
         x = x.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
 
-        rp = make_image_bucket_position(self.bucket_size)[: n, : n]
+        rp = make_image_bucket_position(self.bucket_size)[
+            np.ix_(tok_idx, tok_idx)]
         rel_bias = params["rel_pos_table"][rp].transpose(2, 0, 1)
 
         heads, t_frames, ascale = self.heads, self.num_frames, self.adapter_scale

@@ -59,7 +59,10 @@ def test_detector_training_step_decreases_loss():
     rs = np.random.RandomState(1)
     batch = _batch(rs)
 
-    tx = optax.adam(1e-3)
+    # 1e-3 oscillates on this 2-layer toy even with a fixed objective
+    # (FCOS normalization swings as the positive set changes); 1e-4
+    # decreases monotonically
+    tx = optax.adam(1e-4)
     opt = tx.init(params)
 
     @jax.jit
@@ -72,10 +75,12 @@ def test_detector_training_step_decreases_loss():
         updates, opt = tx.update(grads, opt, params)
         return optax.apply_updates(params, updates), opt, loss, metrics, grads
 
-    rngs = jax.random.split(jax.random.PRNGKey(2), 6)
+    # one fixed jitter rng: per-step jitter makes the objective stochastic
+    # and a 6-step decrease assertion flaky on a 2-layer model at 1e-3
+    rng = jax.random.PRNGKey(2)
     losses = []
     for i in range(6):
-        params, opt, loss, metrics, grads = step(params, opt, rngs[i])
+        params, opt, loss, metrics, grads = step(params, opt, rng)
         losses.append(float(loss))
         assert np.isfinite(losses[-1]), metrics
     # grads reach every component

@@ -70,7 +70,7 @@ def test_tiny_train_smoke_adapters_move_trunk_frozen():
     mask = model.trainable_mask(params)
     labels = jax.tree.map(lambda m: "t" if m else "f", mask)
     tx = optax.multi_transform(
-        {"t": optax.adam(1e-2), "f": optax.set_to_zero()}, labels)
+        {"t": optax.adam(1e-3), "f": optax.set_to_zero()}, labels)
     opt_state = tx.init(params)
     frames = _frames()
     y = jnp.asarray(np.array([0, 2]))
@@ -92,7 +92,7 @@ def test_tiny_train_smoke_adapters_move_trunk_frozen():
     p0_trunk = np.asarray(
         params["backbone"]["layers"]["self_attn"]["q_proj"]["w"])
     losses = []
-    for _ in range(3):
+    for _ in range(5):
         params, opt_state, l = step(params, opt_state)
         losses.append(float(l))
     assert np.isfinite(losses).all()
@@ -103,3 +103,39 @@ def test_tiny_train_smoke_adapters_move_trunk_frozen():
     np.testing.assert_array_equal(
         np.asarray(params["backbone"]["layers"]["self_attn"]["q_proj"]["w"]),
         p0_trunk)
+
+
+def test_subgrid_token_indices_pick_2d_subgrid():
+    """Sub-bucket frame grids must select the 2-D sub-grid, not a flat
+    prefix: the gathered relative bucket for grid pair ((0,0),(1,1)) at
+    bucket 4 is (dy+3)*7+(dx+3) with dy=dx=-1."""
+    from one_peace_tpu.models.rel_pos import make_image_bucket_position
+    from one_peace_tpu.vision.video_backbone import subgrid_token_indices
+
+    bs = 4
+    idx = subgrid_token_indices(2, 2, bs)
+    assert idx.tolist() == [0, 1, 2, 5, 6]  # CLS, (0,0),(0,1),(1,0),(1,1)
+    rp = make_image_bucket_position(bs)[np.ix_(idx, idx)]
+    # pair (0,0)->(1,1): relative (dy, dx) = (-1, -1)
+    assert rp[1, 4] == (-1 + bs - 1) * (2 * bs - 1) + (-1 + bs - 1)
+    # pair (1,1)->(0,1): relative (dy, dx) = (1, 0)
+    assert rp[4, 2] == (1 + bs - 1) * (2 * bs - 1) + (0 + bs - 1)
+    # CLS rows keep the three special buckets
+    nrd = (2 * bs - 1) ** 2 + 3
+    assert rp[0, 0] == nrd - 1 and rp[0, 1] == nrd - 3 and rp[1, 0] == nrd - 2
+
+
+def test_video_backbone_subgrid_resolution():
+    """Frames below bucket_size*16 px run with the correct sub-grid
+    positional tables (regression: flat-prefix slicing)."""
+    from one_peace_tpu.vision.video_backbone import VideoBackbone
+
+    bb = VideoBackbone(embed_dim=32, ffn_embed_dim=64, heads=4, layers=2,
+                       bucket_size=4, num_frames=2,
+                       checkpoint_activations=False)
+    params = bb.init(jax.random.PRNGKey(0))
+    frames = jnp.asarray(np.random.RandomState(0).randn(1, 2, 3, 32, 32),
+                         jnp.float32)  # 32px -> 2x2 grid < bucket 4
+    out = bb(params, frames)
+    assert out.shape == (2, 5, 32)
+    assert bool(jnp.isfinite(out).all())
