@@ -246,9 +246,17 @@ class ClassifyCriterion:
         self.label_smoothing = cfg.label_smoothing
         self.use_multi_label = use_multi_label
 
-    def __call__(self, model, params, batch, rng=None, deterministic=False):
+    def __call__(self, model, params, batch, rng=None, deterministic=False,
+                 num_updates=None):
+        kw = {}
+        if num_updates is not None and getattr(
+                model, "freeze_finetune_updates", 0):
+            # thread the traced update count through so the encoder's
+            # stop_gradient window (freeze_finetune_updates) can flip
+            # inside the one compiled train step
+            kw["num_updates"] = num_updates
         logits = model(params, **batch["net_input"], deterministic=deterministic,
-                       rng=rng)
+                       rng=rng, **kw)
         targets = batch["target"]
         bsz = logits.shape[0]
         if self.use_multi_label:
@@ -300,6 +308,10 @@ class HingeCriterion:
         logits = logits.reshape(-1, self.num_choices)
         loss, ncorrect = hinge_loss(logits, batch["target"], self.margin)
         bsz = logits.shape[0]
+        # fairseq divides gradients by sample_size = nsentences
+        # (ref hinge_loss.py:55-57 + trainer multiply-by-1/sample_size);
+        # differentiating the raw sum would scale the effective lr by B
+        loss = loss / bsz
         return loss, {"loss": loss, "accuracy": 100.0 * ncorrect / bsz}
 
 

@@ -1,11 +1,12 @@
 """Loss primitives shared by the criterions.
 
-Pure functions over global (mesh-sharded) batches.  Under pjit, a single
-jitted loss over the global batch is semantically identical to the
-reference's per-rank loss + no-grad ``all_gather`` of negatives with
+Pure functions over global (mesh-sharded) batches.  The reference
+computes per-rank losses against a no-grad ``all_gather`` gallery with
 rank-offset targets (ref: criterions/image_text_retrieval_loss.py:29-39,
-93-123): the CLIP "local-loss" trick produces exactly the full-batch
-gradient once summed over ranks, which is what XLA's psum delivers.
+93-123; utils/data_utils.py:30-37 — the gallery side is detached even in
+the single-process ``.data`` branch).  Under pjit a single jitted loss
+over the global batch with ``stop_gradient`` on the gallery side is
+exactly that computation summed over ranks (XLA's psum delivers the sum).
 """
 
 from __future__ import annotations
@@ -40,8 +41,14 @@ def itc_loss(
     """
     b = emb_a.shape[0]
     targets = jnp.arange(b)
-    sim_a2b = logit_scale * (emb_a.astype(jnp.float32) @ emb_b.astype(jnp.float32).T)
-    sim_b2a = logit_scale * (emb_b.astype(jnp.float32) @ emb_a.astype(jnp.float32).T)
+    # gallery side detached, exactly like the reference (text_logits_all /
+    # image_logits_all come from gather_without_grad, and the
+    # single-process branch uses .data): each direction's gradient flows
+    # only through its query-side embeddings
+    a32 = emb_a.astype(jnp.float32)
+    b32 = emb_b.astype(jnp.float32)
+    sim_a2b = logit_scale * (a32 @ jax.lax.stop_gradient(b32).T)
+    sim_b2a = logit_scale * (b32 @ jax.lax.stop_gradient(a32).T)
     lp_a2b = jax.nn.log_softmax(sim_a2b, axis=-1)
     lp_b2a = jax.nn.log_softmax(sim_b2a, axis=-1)
     loss = 0.5 * (

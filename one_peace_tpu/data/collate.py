@@ -65,9 +65,13 @@ def collate(samples: List[Dict], pad_idx: int = 1,
     first = samples[0]
     for key, (out_key, pad) in _PAD_RULES.items():
         if first.get(key) is not None:
-            values = [np.asarray(s[key]) for s in samples]
             if isinstance(first[key], list):  # per-sample lists (e.g. choices)
+                # flatten BEFORE any np.asarray: ragged choice lists
+                # (answers tokenize to different lengths) would make
+                # np.asarray raise on numpy >= 1.24
                 values = [np.asarray(item) for s in samples for item in s[key]]
+            else:
+                values = [np.asarray(s[key]) for s in samples]
             pad_val = pad_idx if pad == "pad" else pad
             batch[out_key] = collate_tokens(values, pad_val,
                                             pad_to_length.get(out_key))

@@ -87,7 +87,7 @@ class ImageTextPretrainDataset(BaseDataset):
         image_mask = with_cls(image_mask)
         vl_image_mask = with_cls(vl_image_mask)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": text,
             "text_mask_indices": text_mask,
             "text_preserve_ids": to_preserve_ids(text_mask),
@@ -139,7 +139,7 @@ class AudioTextPretrainDataset(BaseDataset):
         al_audio_mask = with_cls(al_audio_mask)
         al_text_mask = with_cls(al_text_mask, trailing_false=True)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": text,
             "source_audio": feats,
             "audio_padding_mask": np.zeros(t + 1, bool),
@@ -150,6 +150,19 @@ class AudioTextPretrainDataset(BaseDataset):
             "al_audio_mask_indices": al_audio_mask,
             "al_audio_preserve_ids": to_preserve_ids(al_audio_mask),
         }
+
+
+def coerce_id(uniq_id, fallback):
+    """TSV uniq_id -> sample id (ref image_text_pretrain_dataset.py:63-64:
+    numeric ids become ints); Recall matches these against the valid-file
+    JSON keys, so returning the row index would break any corpus whose ids
+    are not 0..N-1 in row order."""
+    if uniq_id is None:
+        return fallback
+    try:
+        return int(uniq_id)
+    except (TypeError, ValueError):
+        return uniq_id
 
 
 class ImageTextRetrievalDataset(BaseDataset):
@@ -165,7 +178,7 @@ class ImageTextRetrievalDataset(BaseDataset):
         text = self.encode_text(f" {caption}", self.max_src_length)
         img = resize_image(self.read_image(image), self.patch_image_size)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": text,
             "source_image": normalize_image(np.asarray(img)),
         }
@@ -188,7 +201,7 @@ class AudioTextRetrievalDataset(BaseDataset):
         caption = clean_text(caption)
         text = self.encode_text(f" {caption}", self.max_src_length)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": text,
             "source_audio": feats,
             "audio_padding_mask": np.zeros(t + 1, bool),
@@ -252,7 +265,7 @@ class Nlvr2Dataset(BaseDataset):
         target = {"True": 0, "False": 1}[label]
         text = clean_text(text)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": self.encode_text(f" {text}", self.max_src_length),
             "source_image": self._transform(self.read_image(image1)),
             "source_image_2": self._transform(self.read_image(image2)),
@@ -304,7 +317,7 @@ class VggsoundDataset(BaseDataset):
         feats = audio_postprocess(wav, sr, self.max_duration)
         t = self.conv_length(len(feats), self.spec)
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_audio": feats,
             "audio_padding_mask": np.zeros(t + 1, bool),
             "target": np.int64(int(text.strip())),
@@ -332,7 +345,7 @@ class Fsd50kDataset(BaseDataset):
             if lab != "":
                 target[int(lab)] = 1.0
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_audio": feats,
             "audio_padding_mask": np.zeros(t + 1, bool),
             "target": target,
@@ -359,7 +372,7 @@ class AqaDataset(BaseDataset):
         choices = [self.encode_text(f" {question} answer: {a}")
                    for a in (a1, a2, a3, a4)]
         return {
-            "id": index,
+            "id": coerce_id(uniq_id, index),
             "source_text": choices,  # list -> flattened by collate
             "source_audio": feats,
             "audio_padding_mask": np.zeros(t + 1, bool),

@@ -136,3 +136,7 @@ class EpochBatchIterator:
     def load_state_dict(self, state):
         self.epoch = state["epoch"]
         self._consumed = state.get("consumed", 0)
+        # restore the shuffle seed too: fast-forwarding `consumed` batches
+        # through a DIFFERENT seed's shuffle order silently skips/repeats
+        # other samples across the preemption boundary
+        self.seed = state.get("seed", self.seed)

@@ -40,8 +40,12 @@ def whole_word_starts(dictionary, bpe) -> np.ndarray:
             flags[i] = True
             continue
         tok = bpe.decoder.get(gpt2_id, "")
-        # byte-level BPE: 'Ġ' (U+0120) encodes a leading space
-        flags[i] = (not tok) or tok[0] == "Ġ" or not tok[0].isalnum()
+        # byte-level BPE: 'Ġ' (U+0120) encodes a leading space.  fairseq's
+        # GPT2BPE.is_beginning_of_word is solely decode(x).startswith(' ')
+        # — a no-leading-space punctuation token is a *continuation*, so no
+        # isalnum special-casing here (it would change mask extents on any
+        # caption with punctuation)
+        flags[i] = (not tok) or tok[0] == "Ġ"
     return flags
 
 
@@ -66,11 +70,19 @@ def add_whole_word_mask(rng: np.random.RandomState, source: np.ndarray,
 
 def nested_subset_mask(rng: np.random.RandomState, base_mask: np.ndarray,
                        ratio: float) -> np.ndarray:
-    """Random subset of a base mask: |out| = int(len * ratio), all inside
-    base_mask (ref :74-79 — randn ranked with -inf outside the base)."""
+    """VL text mask: |out| = int(len * ratio) positions drawn
+    preferentially from OUTSIDE the unimodal base mask, spilling into it
+    only when the complement is too small (ref
+    image_text_pretrain_dataset.py:71-77 — randn ``masked_fill(base,
+    -inf).argsort(descending)`` ranks every non-base position above every
+    base position)."""
     n = int(len(base_mask) * ratio)
-    candidates = np.nonzero(base_mask)[0]
-    chosen = rng.permutation(candidates)[:n]
+    outside = np.nonzero(~base_mask)[0]
+    chosen = rng.permutation(outside)[:n]
+    if n > outside.size:
+        inside = np.nonzero(base_mask)[0]
+        chosen = np.concatenate(
+            [chosen, rng.permutation(inside)[: n - outside.size]])
     out = np.zeros(len(base_mask), dtype=bool)
     out[chosen] = True
     return out
@@ -121,6 +133,14 @@ def compute_block_mask_1d(rng: np.random.RandomState, length: int,
         masked = np.nonzero(mask)[0]
         unmask = rng.permutation(masked)[: n - final_target]
         mask[unmask] = False
+    elif n < final_target:
+        # center collisions under-shoot the target; require_same_masks
+        # adds random positions to hit the exact count (ref fairseq
+        # data_utils.py `elif n < final_target_len`) so every sample in a
+        # batch masks exactly int(L * mask_prob) frames
+        unmasked = np.nonzero(~mask)[0]
+        extra = rng.permutation(unmasked)[: final_target - n]
+        mask[extra] = True
     return mask
 
 

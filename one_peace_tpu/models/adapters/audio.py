@@ -85,10 +85,13 @@ class AudioAdapter:
             params["post_extract_proj"] = init_linear(keys[8], feature_dim, d, dtype=dtype)
 
         if cfg.abs_pos_type == "conv":
+            # one fresh key per conv layer (a fixed modulo would hand
+            # repeated layers identical init draws)
+            conv_keys = jax.random.split(keys[9], cfg.conv_pos_depth)
             pos_convs = []
             for i in range(cfg.conv_pos_depth):
                 pos_convs.append(
-                    init_conv1d(keys[9 + i % 4], d, d, self.pos_conv_kernel,
+                    init_conv1d(conv_keys[i], d, d, self.pos_conv_kernel,
                                 groups=cfg.conv_pos_groups, dtype=dtype)
                 )
             params["pos_convs"] = pos_convs

@@ -84,9 +84,27 @@ class OnePeaceClassifyModel:
         audio_padding_masks=None,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        num_updates=None,
     ):
         rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
-        frozen = self.num_updates < self.freeze_finetune_updates
+        if num_updates is not None and self.freeze_finetune_updates:
+            # traced freeze: the update count is a jitted-step argument, so
+            # the window flips inside one compiled train step — a Python
+            # bool here would be baked in at trace time and never change
+            unfrozen = (jnp.asarray(num_updates)
+                        >= self.freeze_finetune_updates)
+
+            def maybe_freeze(x):
+                if x is None:
+                    return None
+                sg = jax.lax.stop_gradient(x)
+                return sg + unfrozen.astype(x.dtype) * (x - sg)
+        elif self.num_updates < self.freeze_finetune_updates:
+            def maybe_freeze(x):
+                return jax.lax.stop_gradient(x) if x is not None else None
+        else:
+            def maybe_freeze(x):
+                return x
 
         def run(p, imgs, second, r):
             return self.wrapper(
@@ -98,15 +116,14 @@ class OnePeaceClassifyModel:
 
         text_f, image_f, audio_f, text_pad, image_pad, audio_pad = run(
             params["encoder_wrapper"], src_images, False, rngs[0])
-        if frozen:
-            text_f, image_f, audio_f = jax.tree.map(
-                lambda x: jax.lax.stop_gradient(x) if x is not None else None,
-                (text_f, image_f, audio_f), is_leaf=lambda x: x is None)
+        text_f, image_f, audio_f = (maybe_freeze(text_f),
+                                    maybe_freeze(image_f),
+                                    maybe_freeze(audio_f))
 
         feats_2 = None
         if src_images_2 is not None:
             t2, i2, a2, *_ = run(params["encoder_wrapper"], src_images_2, True, rngs[1])
-            feats_2 = (t2, i2, a2)
+            feats_2 = (maybe_freeze(t2), maybe_freeze(i2), maybe_freeze(a2))
 
         if text_f is not None and not self.use_image_features:
             feats, pad = text_f, text_pad

@@ -194,6 +194,11 @@ def encoder_layer(
         y = jnp.concatenate(
             [ffn(params["text_ffn"], y[:, :text_len]),
              ffn(params["audio_ffn"], y[:, text_len:])], axis=1)
+    elif encoder_type == "val":
+        y = jnp.concatenate(
+            [ffn(params["text_ffn"], y[:, :text_len]),
+             ffn(params["image_ffn"], y[:, text_len:text_len + image_len]),
+             ffn(params["audio_ffn"], y[:, text_len + image_len:])], axis=1)
     else:
         raise NotImplementedError(encoder_type)
     y = dropout(rngs[4], y, cfg.dropout, deterministic)
@@ -370,4 +375,11 @@ class FusionEncoder:
             x = jnp.concatenate(
                 [maybe_norm("text_layer_norm", x[:, :text_len]),
                  maybe_norm("audio_layer_norm", x[:, text_len:])], axis=1)
+        elif encoder_type == "val":
+            x = jnp.concatenate(
+                [maybe_norm("text_layer_norm", x[:, :text_len]),
+                 maybe_norm("image_layer_norm",
+                            x[:, text_len:text_len + image_len]),
+                 maybe_norm("audio_layer_norm",
+                            x[:, text_len + image_len:])], axis=1)
         return x, hiddens

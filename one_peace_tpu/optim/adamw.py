@@ -119,7 +119,17 @@ def scale_by_tree(scales) -> optax.GradientTransformation:
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
-        new = jax.tree.map(lambda u, s: u * s.astype(u.dtype), updates, scales)
+        # MaskedNode-safe: under a trainable_mask (optax.multi_transform)
+        # frozen leaves arrive as optax.MaskedNode sentinels — pass them
+        # through instead of pairing them with the full-shaped scale tree
+        def mul(u, s):
+            if isinstance(u, optax.MaskedNode):
+                return u
+            return u * s.astype(u.dtype)
+
+        new = jax.tree.map(
+            mul, updates, scales,
+            is_leaf=lambda x: isinstance(x, optax.MaskedNode))
         return new, state
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -11,8 +11,12 @@ so the ragged final batch does not trigger a recompile:
 - ``src_tokens``: sequence length padded to a multiple of 16 with the
   padding index (extra pad columns do not change unpadded outputs —
   padding-invariance is covered by the attention mask tests);
-- other arrays: batch-dim padding only (audio lengths are already bucketed
-  by the datasets' fixed-duration crop).
+- ``src_audios``: waveform length padded up to the next whole second
+  (16 kHz), with ``audio_padding_masks`` extended by True for the extra
+  conv frames — clip durations are arbitrary (crop caps at 15 s, tile
+  raises to >= 1 s, anything between stays ragged), so without this every
+  batch-max length is a fresh multi-minute remote compile;
+- other arrays: batch-dim padding only.
 
 Padded rows produce garbage-but-finite outputs that are sliced off.
 """
@@ -45,9 +49,15 @@ class JitEvaluator:
     signature; ``n_compiles`` reports how many programs were built.
     """
 
-    def __init__(self, model):
+    def __init__(self, model, audio_bucket: int = 16000):
         self.model = model
         self._fns: Dict[Any, Any] = {}
+        self.audio_bucket = audio_bucket  # waveform bucket quantum (1 s)
+        # audio bucketing needs the conv-length arithmetic; best-effort
+        # discovery from the model config (absent -> batch-dim only)
+        enc = getattr(getattr(model, "cfg", None), "encoder", None)
+        self._audio_spec = getattr(
+            getattr(enc, "audio_adapter", None), "feature_encoder_spec", None)
 
     @property
     def n_compiles(self) -> int:
@@ -57,12 +67,29 @@ class JitEvaluator:
         arrays = {k: np.asarray(v) for k, v in net_input.items()}
         n = next(iter(arrays.values())).shape[0]
         nb = _batch_bucket(n)
+        mask_len = None
+        if "src_audios" in arrays and self._audio_spec is not None:
+            from ..models.adapters.audio import conv_output_length
+
+            t = arrays["src_audios"].shape[1]
+            q = self.audio_bucket
+            tb = max(-(-t // q) * q, q)  # next whole bucket
+            arrays["src_audios"] = np.pad(
+                arrays["src_audios"], [(0, 0), (0, tb - t)])
+            mask_len = conv_output_length(tb, self._audio_spec) + 1
         padded = {}
         for k, v in arrays.items():
             pad = [(0, nb - v.shape[0])] + [(0, 0)] * (v.ndim - 1)
             if k == "src_tokens":
                 pad[1] = (0, _seq_bucket(v.shape[1]) - v.shape[1])
                 v = np.pad(v, pad, constant_values=PAD_IDX)
+            elif k == "audio_padding_masks" and mask_len is not None:
+                # extra conv frames from the waveform bucket are padding
+                # (True); padded batch rows stay all-False so no row is
+                # entirely padded (softmax over all -inf keys)
+                v = np.pad(v, [(0, 0), (0, mask_len - v.shape[1])],
+                           constant_values=True)
+                v = np.pad(v, [pad[0], (0, 0)])
             else:
                 v = np.pad(v, pad)
             padded[k] = v

@@ -92,6 +92,7 @@ class Trainer:
                 tx = _masked(tx, mask)
         if cfg.optimization.update_freq > 1:
             tx = optax.MultiSteps(tx, every_k_schedule=cfg.optimization.update_freq)
+        self._update_freq = max(int(cfg.optimization.update_freq), 1)
         self.tx = tx
         self.opt_state = jax.jit(
             tx.init,
@@ -102,7 +103,6 @@ class Trainer:
         self.train_time = 0.0  # cumulative train seconds (ref trainer.py:365-400)
         self._rng = jax.random.PRNGKey(cfg.common.seed + 1)
         self._train_step = self._build_train_step()
-        self._metrics_hist: list = []
 
         self.ema = None
         if cfg.ema.store_ema:
@@ -122,11 +122,22 @@ class Trainer:
 
         self.loss_scale = init_loss_scale() if use_scaling else None
 
+        import inspect
+
+        try:
+            takes_updates = "num_updates" in inspect.signature(
+                criterion.__call__).parameters
+        except (TypeError, ValueError):
+            takes_updates = False
+
         def step_fn(params, opt_state, step, batch, rng, scale_state):
+            crit_kw = ({"num_updates": step // self._update_freq}
+                       if takes_updates else {})
+
             def loss_fn(p):
                 p_c = cast_floats(p, compute_dtype) if compute_dtype != jnp.float32 else p
                 loss, metrics = criterion(model, p_c, batch, rng=rng,
-                                          deterministic=False)
+                                          deterministic=False, **crit_kw)
                 if use_scaling:
                     return scale_loss(scale_state, loss), metrics
                 return loss, metrics
@@ -147,9 +158,18 @@ class Trainer:
             new_params = optax.apply_updates(params, updates)
             new_params = jax.tree.map(
                 lambda new, old: jnp.where(finite, new, old), new_params, params)
+            # a skipped step must not advance optimizer state either: with
+            # zeroed grads the Adam moments would still decay and the
+            # schedule/bias-correction counts increment (and mid-
+            # accumulation, MultiSteps would fold a zero micro-grad into
+            # the average); revert wholesale so the step is a true no-op
+            new_opt_state = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o), new_opt_state, opt_state)
             metrics = dict(metrics)
             metrics["gnorm"] = gnorm
-            metrics["lr"] = self.lr_schedule(step)
+            # with accumulation the optimizer applies one update per
+            # update_freq micro-steps; report the lr actually in effect
+            metrics["lr"] = self.lr_schedule(step // self._update_freq)
             metrics["skipped"] = 1.0 - finite.astype(jnp.float32)
             return new_params, new_opt_state, metrics, scale_state
 
@@ -168,7 +188,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+    def train_step(self, batch: Dict[str, Any],
+                   fetch_metrics: bool = True) -> Dict[str, float]:
+        """One update.  ``fetch_metrics=False`` skips the host fetch of the
+        metric scalars — the step is dispatched asynchronously and the
+        returned dict holds device arrays (convert at your logging
+        interval).  With it True (default) every step pays a device
+        round-trip, which serializes dispatch against execution."""
         with jax.profiler.TraceAnnotation("train_step"):
             with jax.profiler.TraceAnnotation("batch_transfer"):
                 batch = jax.tree.map(jnp.asarray, batch)
@@ -178,14 +204,15 @@ class Trainer:
             self.params, self.opt_state, metrics, self.loss_scale = self._train_step(
                 self.params, self.opt_state, jnp.asarray(self.step), batch, rng,
                 self.loss_scale)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            if fetch_metrics:
+                metrics = {k: float(v) for k, v in metrics.items()}
+            # without a fetch this measures dispatch, not execution
             metrics["step_time"] = time.time() - t0
             self.train_time += metrics["step_time"]
             self.step += 1
             if self.ema is not None:
                 with jax.profiler.TraceAnnotation("ema_update"):
                     self.ema.step(self.params, self.step)
-            self._metrics_hist.append(metrics)
             return metrics
 
     def valid_step(self, batch, criterion=None):

@@ -33,7 +33,10 @@ class Watchdog:
         assert action in ("raise", "kill")
         self.timeout = timeout
         self.action = action
-        self._timer: Optional[threading.Timer] = None
+        # a STACK of timers: nested guards on one watchdog must not
+        # orphan the outer timer (it would fire after its section
+        # completed and kill a healthy process)
+        self._timers: list = []
         self._tripped = threading.Event()
         self._section = ""
 
@@ -63,15 +66,16 @@ class _Guard:
 
     def __enter__(self):
         self.wd._section = self.section
-        self.wd._timer = threading.Timer(self.wd.timeout, self.wd._fire)
-        self.wd._timer.daemon = True
-        self.wd._timer.start()
+        self._timer = threading.Timer(self.wd.timeout, self.wd._fire)
+        self._timer.daemon = True
+        self._timer.start()
+        self.wd._timers.append(self._timer)
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if self.wd._timer is not None:
-            self.wd._timer.cancel()
-            self.wd._timer = None
+        self._timer.cancel()
+        if self._timer in self.wd._timers:
+            self.wd._timers.remove(self._timer)
         if exc_type is KeyboardInterrupt and self.wd.tripped:
             raise WatchdogTimeout(
                 f"section {self.section or self.wd._section!r} exceeded "

@@ -20,17 +20,6 @@ def test_collate_padding():
                                   [[0, 2, -1], [0, 1, 2]])
 
 
-def test_block_mask_1d_exact_count():
-    from one_peace_tpu.data.masking import compute_block_mask_1d
-
-    rng = np.random.RandomState(0)
-    for prob in (0.45, 0.55):
-        mask = compute_block_mask_1d(rng, 200, prob, mask_length=5,
-                                     mask_prob_adjust=0.1)
-        assert mask.sum() <= int(200 * prob)
-        assert mask.sum() >= int(200 * prob) * 0.5  # blocks overlap some
-
-
 def test_whole_word_mask_extends_continuations():
     from one_peace_tpu.data.masking import add_whole_word_mask
 
@@ -55,8 +44,14 @@ def test_vl_masks_nested():
     rng = np.random.RandomState(0)
     base = random_patch_mask(rng, 16, 0.75)
     assert base.sum() == 12
-    sub = nested_subset_mask(rng, base, 0.4)
-    assert np.all(base[sub])  # strictly inside base
+    # VL text mask prefers the COMPLEMENT of the base (ref
+    # image_text_pretrain_dataset.py:71-77: -inf inside the base)
+    sub = nested_subset_mask(rng, base, 0.2)
+    assert sub.sum() == 3  # int(16 * 0.2)
+    assert np.all(~base[sub])  # fits entirely outside the base
+    big = nested_subset_mask(rng, base, 0.5)
+    assert big.sum() == 8  # complement (4) exhausted, spills into base
+    assert np.all(big[~base])
     sup = superset_patch_mask(rng, base, 0.6875)
     assert np.all(sup[~base])  # contains every unmasked patch
     assert sup.sum() == 11  # int(16 * 0.6875)
@@ -285,3 +280,46 @@ def test_hinge_and_refcoco_losses():
     bad = jnp.asarray([[0.6, 0.6, 0.1, 0.1]])
     loss_bad = refcoco_loss(bad, pred, nsentences=1)
     assert np.isfinite(float(loss_bad))
+
+
+def test_collate_ragged_choice_lists():
+    """Per-sample choice lists with different token lengths (AQA answers)
+    must flatten before any np.asarray (ragged asarray raises on
+    numpy >= 1.24)."""
+    from one_peace_tpu.data.collate import collate
+
+    samples = [
+        {"id": 0, "source_text": [np.array([5, 6]), np.array([7, 8, 9]),
+                                  np.array([10]), np.array([11, 12])]},
+        {"id": 1, "source_text": [np.array([13]), np.array([14, 15]),
+                                  np.array([16, 17, 18, 19]), np.array([20])]},
+    ]
+    batch = collate(samples, pad_idx=1)
+    assert batch["src_tokens"].shape == (8, 4)  # 2 samples x 4 choices
+    assert batch["src_tokens"][1].tolist() == [7, 8, 9, 1]
+
+
+def test_block_mask_1d_exact_count():
+    """require_same_masks semantics: every draw masks exactly
+    int(L * mask_prob) frames (the expand branch fills under-shoots)."""
+    from one_peace_tpu.data.masking import compute_block_mask_1d
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        m = compute_block_mask_1d(rng, 500, 0.55, mask_length=5)
+        assert int(m.sum()) == int(500 * 0.55)
+
+
+def test_watchdog_nested_guards():
+    """Nested guards must not orphan the outer timer (it would fire after
+    a completed section and kill a healthy process)."""
+    import time
+
+    from one_peace_tpu.utils.watchdog import Watchdog
+
+    wd = Watchdog(timeout=0.5, action="raise")
+    with wd.guard("outer"):
+        with wd.guard("inner"):
+            pass
+    time.sleep(0.8)  # past the outer timeout; nothing may fire
+    assert not wd.tripped

@@ -172,3 +172,22 @@ def test_adapter_config_variants():
     _, image_f1, _ = wrapper(params, src_images=images, encoder_type="image")
     np.testing.assert_allclose(np.asarray(image_f1), np.asarray(image_f2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_val_trimodal_forward(wrapper_and_params):
+    """encoder_type='val' concatenates all three modalities, routes each
+    segment through its own FFN/final-LN, and slices features back out
+    (ref one_peace_base.py:89-124; the reference accepts 'val' too)."""
+    cfg, wrapper, params = wrapper_and_params
+    tokens = jnp.array([[5, 6, 7, 1, 1], [8, 9, 10, 11, 1]])
+    images = jnp.asarray(np.random.RandomState(1).randn(2, 3, 32, 32),
+                         jnp.float32)
+    src_audios, pad = _audio_inputs(cfg, 2, 64)
+    text_f, image_f, audio_f = wrapper(
+        params, src_tokens=tokens, src_images=images, src_audios=src_audios,
+        audio_padding_masks=pad, encoder_type="val")
+    assert text_f.shape == (2, 6, cfg.embed_dim)
+    assert image_f.shape == (2, 5, cfg.embed_dim)
+    assert audio_f is not None and audio_f.shape[2] == cfg.embed_dim
+    for f in (text_f, image_f, audio_f):
+        assert np.isfinite(np.asarray(f)).all()

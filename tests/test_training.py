@@ -337,3 +337,108 @@ def test_valid_step_jitted_and_bucketed(trained):
     }
     trainer.valid_step(batch2)  # new shape: new bucket
     assert len(trainer._valid_fns) == n_fns + 1
+
+
+def test_skipped_step_leaves_optimizer_state_untouched():
+    """A non-finite step must be a true no-op: Adam moments, counts and
+    the MultiSteps accumulator all revert (zeroed grads would otherwise
+    decay moments and advance the schedule)."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+    import jax
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+    rs = np.random.RandomState(0)
+    good = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    trainer.train_step(good)  # move opt state off init
+    before = jax.tree.map(np.asarray, jax.tree.leaves(trainer.opt_state))
+    poison = dict(good)
+    poison["src_images"] = np.full((8, 3, 32, 32), np.nan, np.float32)
+    metrics = trainer.train_step(poison)
+    assert metrics["skipped"] == 1.0
+    after = jax.tree.map(np.asarray, jax.tree.leaves(trainer.opt_state))
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, a)
+
+
+def test_layer_decay_with_trainable_mask():
+    """layer_decay < 1 composed with a trainable_mask (multi_transform's
+    MaskedNode sentinels) must not crash scale_by_tree, and frozen leaves
+    must receive zero updates."""
+    import jax
+    import jax.numpy as jnp
+    from one_peace_tpu.core.config import OptimizationConfig, OptimizerConfig
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.optim.adamw import build_optimizer
+    from one_peace_tpu.optim.lr_schedule import build_lr_schedule
+    from one_peace_tpu.core.config import LRSchedulerConfig
+    from one_peace_tpu.trainer import _masked
+
+    cfg = tiny_model_config(head_type="text")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt_cfg = OptimizationConfig(lr=1e-3, max_update=10, layer_decay=0.9)
+    o_cfg = OptimizerConfig()
+    sched = build_lr_schedule(LRSchedulerConfig(), opt_cfg, 10)
+    tx = build_optimizer(o_cfg, opt_cfg, sched, params,
+                         num_layers=cfg.encoder.layers)
+    # freeze the text adapter, train everything else
+    mask = jax.tree.map(lambda _: True, params)
+    mask["encoder_wrapper"]["text_adapter"] = jax.tree.map(
+        lambda _: False, mask["encoder_wrapper"]["text_adapter"])
+    tx = _masked(tx, mask)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(grads, opt_state, params)  # crashed before
+    froz = jax.tree.leaves(updates["encoder_wrapper"]["text_adapter"])
+    assert all(float(np.abs(np.asarray(u)).max()) == 0.0 for u in froz)
+    live = np.asarray(updates["text_proj"]["w"])
+    assert float(np.abs(live).max()) > 0.0
+
+
+def test_freeze_finetune_updates_traced_window():
+    """The encoder is frozen for the first freeze_finetune_updates updates
+    and unfreezes INSIDE the one compiled step (traced num_updates)."""
+    import jax
+    import optax as _optax
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.classify import OnePeaceClassifyModel
+    from one_peace_tpu.trainer import Trainer
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    cfg.model.head_type = "image"
+    cfg.criterion._name = "classify_criterion"
+    model = OnePeaceClassifyModel(cfg.model, num_classes=4,
+                                  freeze_finetune_updates=2)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+    rs = np.random.RandomState(0)
+    batch = {
+        "net_input": {"src_images": rs.randn(8, 3, 32, 32).astype(np.float32)},
+        "target": rs.randint(0, 4, (8,)),
+    }
+    enc0 = np.asarray(jax.tree.leaves(
+        trainer.params["encoder_wrapper"])[0])
+    head0 = np.asarray(jax.tree.leaves(trainer.params["classify_head"])[0])
+    trainer.train_step(batch)   # update 0: frozen
+    trainer.train_step(batch)   # update 1: frozen
+    enc_frozen = np.asarray(jax.tree.leaves(
+        trainer.params["encoder_wrapper"])[0])
+    head_after = np.asarray(jax.tree.leaves(trainer.params["classify_head"])[0])
+    np.testing.assert_array_equal(enc0, enc_frozen)   # encoder untouched
+    assert not np.allclose(head0, head_after)         # head trains
+    trainer.train_step(batch)   # update 2: unfrozen now
+    enc_unfrozen = np.asarray(jax.tree.leaves(
+        trainer.params["encoder_wrapper"])[0])
+    assert not np.allclose(enc0, enc_unfrozen)
