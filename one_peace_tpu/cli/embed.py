@@ -48,6 +48,10 @@ def main(argv: Optional[list] = None) -> int:
         cfg = load_config(args.config, args.overrides)
         model_cfg = cfg.model
         cfg.task.patch_image_size = args.patch_image_size
+        # same sync as cli/train.py: the rel-pos grid must match the
+        # requested resolution or the image adapter's guard raises
+        cfg.model.encoder.image_adapter.rel_bucket_size = \
+            args.patch_image_size // 16
         task_cfg = cfg.task
     hub = from_pretrained(args.path, dtype=args.dtype, task_cfg=task_cfg,
                           model_cfg=model_cfg)

@@ -4,7 +4,10 @@ Loads a checkpoint, runs the task's evaluation loop, dumps metrics JSON.
 
 Usage:
   python -m one_peace_tpu.cli.evaluate --config eval.yaml \
-      common_eval.path=/path/to/ckpt.(pt|npz) [task.<k>=v ...]
+      --path /path/to/ckpt.(pt|npz) [task.<k>=v ...]
+
+(The reference spells the checkpoint as a ``common_eval.path`` override;
+here it is the ``--path`` flag — there is no common_eval config section.)
 """
 
 from __future__ import annotations

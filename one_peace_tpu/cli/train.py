@@ -122,7 +122,7 @@ def main(argv: Optional[list] = None) -> int:
 
     def save(step):
         ckpt.save_train_state(cfg.checkpoint.save_dir, step, full_state(),
-                              keep=max(cfg.checkpoint.keep_last_epochs, 1))
+                              keep=cfg.checkpoint.keep_last_epochs)
 
     max_update = cfg.optimization.max_update or int(1e9)
     max_epoch = cfg.optimization.max_epoch or int(1e9)

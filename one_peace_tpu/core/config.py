@@ -122,22 +122,6 @@ class EncoderConfig:
     attn_impl: str = "pallas"
 
 
-@dataclass
-class ModelConfig:
-    """Top-level model config (encoder + small pretrain decoder).
-
-    ref: unify_model_config.py:216-219 (UnifyModelConfig)
-    """
-
-    _name: str = "one_peace_retrieval"
-    encoder: EncoderConfig = field(default_factory=EncoderConfig)
-    decoder: EncoderConfig = field(default_factory=EncoderConfig)
-    # one rel-pos table per layer instead of a shared one
-    # (ref: one_peace_retrieval.py:30-31 copy_rel_pos_table)
-    copy_rel_pos_table: bool = False
-    head_type: str = "val"  # text | image | audio | vl | al | val
-
-
 def decoder_default_config() -> EncoderConfig:
     """The 2-layer / 768-dim pretrain decoder settings
     (ref: run_scripts/pretrain/pretrain_vl_3B.yaml:132-168)."""
@@ -159,6 +143,27 @@ def decoder_default_config() -> EncoderConfig:
     dec.audio_adapter.abs_pos_type = "fixed"
     dec.audio_adapter.bucket_size = 256
     return dec
+
+
+@dataclass
+class ModelConfig:
+    """Top-level model config (encoder + small pretrain decoder).
+
+    ref: unify_model_config.py:216-219 (UnifyModelConfig)
+    """
+
+    _name: str = "one_peace_retrieval"
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    # defaults to the REAL pretrain decoder (2 layers / 768 dim) —
+    # a bare EncoderConfig here would silently build a second
+    # full-size 40-layer tower on any pretrain run that does not
+    # exhaustively override model.decoder.*
+    decoder: EncoderConfig = field(default_factory=decoder_default_config)
+    # one rel-pos table per layer instead of a shared one
+    # (ref: one_peace_retrieval.py:30-31 copy_rel_pos_table)
+    copy_rel_pos_table: bool = False
+    head_type: str = "val"  # text | image | audio | vl | al | val
+
 
 
 # ---------------------------------------------------------------------------

@@ -112,7 +112,9 @@ class ProgressLogger:
                 self._tb = None
 
     def log(self, stats: Dict[str, float], step: int):
-        if step % self.log_interval != 0:
+        # log_interval <= 0 disables per-step printing (a modulo by zero
+        # would kill the run at the first batch)
+        if self.log_interval <= 0 or step % self.log_interval != 0:
             return
         self.print(stats, step)
 

@@ -110,12 +110,18 @@ def from_pretrained(
     ``model_path`` may be a fairseq ``.pt`` (converted via
     utils/checkpoint_convert) or a native ``.npz`` of flat params.
     """
+    built_default_model_cfg = model_cfg is None
     if model_cfg is None:
         model_cfg = ModelConfig(_name=model_type)
         model_cfg.encoder.attn_impl = attn_impl
     if task_cfg is None:
         task_cfg = TaskConfig()
-        model_cfg.encoder.image_adapter.rel_bucket_size = task_cfg.patch_image_size // 16
+    if built_default_model_cfg:
+        # keep the image rel-pos grid in step with the eval resolution
+        # (cli/train.py does the same sync); without it a non-default
+        # patch_image_size trips the adapter's bucket-size guard
+        model_cfg.encoder.image_adapter.rel_bucket_size = \
+            task_cfg.patch_image_size // 16
     jdtype = {"float32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}[dtype]
 
     if model_type == "one_peace_classify":
@@ -289,7 +295,13 @@ class OnePeaceHubInterface:
         )
 
     def extract_vl_features(self, src_images, src_tokens):
-        """Joint VL forward returning per-modality features."""
-        return self.model.wrapper(
-            self.params["encoder_wrapper"], src_tokens=src_tokens,
-            src_images=src_images, encoder_type="vl")
+        """Joint VL forward returning per-modality features — jitted once
+        per input shape like every other extract_* path (an eager call
+        would dispatch the 40-layer encoder op-by-op)."""
+        if not hasattr(self, "_jit_vl_forward"):
+            self._jit_vl_forward = jax.jit(
+                lambda wparams, tokens, images: self.model.wrapper(
+                    wparams, src_tokens=tokens, src_images=images,
+                    encoder_type="vl"))
+        return self._jit_vl_forward(
+            self.params["encoder_wrapper"], src_tokens, src_images)

@@ -79,10 +79,13 @@ class BleuScorer:
         smooth_mteval = 1.0
         for i in range(order):
             match, count = self.stat.match[i], self.stat.count[i]
-            if count == 0:
-                return 0.0
             if smooth == "add-1":
+                # smoothing first: count==0 (every prediction shorter than
+                # n tokens) still yields (0+1)/(0+1)=1 under add-one,
+                # matching libbleu's bleu_one_init semantics
                 ps.append((match + 1.0) / (count + 1.0))
+            elif count == 0:
+                return 0.0
             elif match == 0:
                 if smooth == "exp":
                     smooth_mteval *= 2.0

@@ -12,7 +12,7 @@ Behavioral specs:
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -238,8 +238,15 @@ class DetectionAP:
             taken = np.zeros(len(gboxes), bool)
             for i in range(len(dboxes)):
                 scores.append(dscores[i])
-                j = int(iou[i].argmax()) if len(gboxes) else -1
-                if j >= 0 and iou[i, j] >= thr and not taken[j]:
+                # COCO matching: best UNMATCHED GT above the threshold
+                # (argmax over all GTs would count a detection FP when its
+                # best GT is taken even though another GT qualifies)
+                if len(gboxes):
+                    cand = np.where(~taken, iou[i], -1.0)
+                    j = int(cand.argmax())
+                else:
+                    j = -1
+                if j >= 0 and cand[j] >= thr:
                     taken[j] = True
                     matches.append(1)
                 else:
@@ -263,11 +270,13 @@ class DetectionAP:
     def merge_results(self) -> Dict:
         aps_all, aps_50 = [], []
         for c in range(self.num_classes):
-            per_thr = [self._ap_for(c, t) for t in self.thresholds]
-            per_thr = [a for a in per_thr if a is not None]
+            raw = [self._ap_for(c, t) for t in self.thresholds]
+            per_thr = [a for a in raw if a is not None]
             if per_thr:
                 aps_all.append(float(np.mean(per_thr)))
-            a50 = self._ap_for(c, 0.5)
+            # thresholds[0] is 0.5 in the COCO sweep — reuse it
+            a50 = (raw[0] if self.thresholds[0] == 0.5
+                   else self._ap_for(c, 0.5))
             if a50 is not None:
                 aps_50.append(a50)
         return {
