@@ -248,6 +248,9 @@ class OnePeaceAdapterBackbone:
                 [i * step, (i + 1) * step - 1] for i in range(4)]
         self.interaction_indexes = interaction_indexes
         self.add_vit_feature = add_vit_feature
+        if add_vit_feature:
+            # ref :124 unpacks exactly four block outputs onto the levels
+            assert len(interaction_indexes) == 4, interaction_indexes
 
         self.image_adapter = ImageAdapter(
             enc_cfg.image_adapter, self.dim, enc_cfg.attention_heads,
@@ -263,6 +266,13 @@ class OnePeaceAdapterBackbone:
             Extractor(self.dim, deform_num_heads, n_points, 1, deform_ratio,
                       with_cffn=True, cffn_ratio=cffn_ratio)
             for _ in interaction_indexes]
+        # the LAST interaction block carries two extra prior-refinement
+        # extractor passes (ref adapter_modules.py:164-170
+        # extra_extractor=True on the final InteractionBlock)
+        self.extra_extractors = [
+            Extractor(self.dim, deform_num_heads, n_points, 1, deform_ratio,
+                      with_cffn=True, cffn_ratio=cffn_ratio)
+            for _ in range(2)]
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, 8 + 2 * len(self.injectors))
@@ -276,6 +286,9 @@ class OnePeaceAdapterBackbone:
                           for i, inj in enumerate(self.injectors)],
             "extractors": [ext.init(keys[6 + 2 * i], dtype=dtype)
                            for i, ext in enumerate(self.extractors)],
+            "extra_extractors": [
+                ext.init(jax.random.fold_in(keys[7], i), dtype=dtype)
+                for i, ext in enumerate(self.extra_extractors)],
         }
         for name in ("norm1", "norm2", "norm3", "norm4"):
             params[name] = {"scale": jnp.ones((self.dim,), dtype),
@@ -338,6 +351,10 @@ class OnePeaceAdapterBackbone:
             c = self.extractors[i](
                 params["extractors"][i], c, ref_priors, tokens,
                 [(grid, grid)], prior_shapes)
+            if i == len(self.interaction_indexes) - 1:
+                for j, ext in enumerate(self.extra_extractors):
+                    c = ext(params["extra_extractors"][j], c, ref_priors,
+                            tokens, [(grid, grid)], prior_shapes)
             outs.append(tokens.reshape(b, grid, grid, self.dim))
 
         # split priors back to levels
@@ -352,12 +369,14 @@ class OnePeaceAdapterBackbone:
             dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["up"]["b"]
 
         if self.add_vit_feature:
-            f = outs[-1]
-            c1 = c1 + jax.image.resize(f, c1.shape, "bilinear")
-            c2 = c2 + jax.image.resize(f, c2.shape, "bilinear")
-            c3 = c3 + f
-            c4 = c4 + jax.lax.reduce_window(
-                f, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            # each pyramid level gets ITS OWN interaction block's output
+            # (ref onepeace_adapter.py:124-128: x1..x4 = outs, bilinear
+            # 4x / 2x / identity / 0.5x), not the last block's
+            x1, x2, x3, x4 = outs
+            c1 = c1 + jax.image.resize(x1, c1.shape, "bilinear")
+            c2 = c2 + jax.image.resize(x2, c2.shape, "bilinear")
+            c3 = c3 + x3
+            c4 = c4 + jax.image.resize(x4, c4.shape, "bilinear")
 
         f1 = layer_norm(params["norm1"], c1)
         f2 = layer_norm(params["norm2"], c2)

@@ -138,11 +138,25 @@ def shared_bias_from_table(table: jnp.ndarray, src_bucket: int,
     return values.transpose(2, 0, 1)
 
 
+def resize_rel_pos(table: jnp.ndarray, size: int) -> jnp.ndarray:
+    """detectron2 ``get_rel_pos``: linearly resize a (2S-1, dh) table to
+    (2*size-1, dh) when the runtime grid differs from the table's grid —
+    indexing a larger table with grid-centered displacements would read
+    the wrong rows (displacement 0 must hit the table center)."""
+    dst = 2 * size - 1
+    if table.shape[0] == dst:
+        return table
+    return jax.image.resize(table, (dst, table.shape[1]), method="linear")
+
+
 def decomposed_rel_bias(q: jnp.ndarray, rel_h: jnp.ndarray,
                         rel_w: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
     """detectron2 add_decomposed_rel_pos: q (B, L, heads, dh) *unscaled*,
-    rel_h (2H-1, dh), rel_w (2W-1, dh) -> (B, heads, L, L) additive."""
+    rel_h (2H-1, dh), rel_w (2W-1, dh) -> (B, heads, L, L) additive
+    (tables resized to the grid first, matching get_rel_pos)."""
     h, w = hw
+    rel_h = resize_rel_pos(rel_h, h)
+    rel_w = resize_rel_pos(rel_w, w)
     b, _, heads, dh = q.shape
     idx_h = np.arange(h)[:, None] - np.arange(h)[None, :] + h - 1
     idx_w = np.arange(w)[:, None] - np.arange(w)[None, :] + w - 1
@@ -265,8 +279,15 @@ def _det_attention(params, heads: int, x: jnp.ndarray,
     if use_kernel:
         from ..ops.det_attention import det_flash_attention
 
+        rel_h = params.get("rel_pos_h")
+        rel_w = params.get("rel_pos_w")
+        if rel_h is not None:
+            # the kernel's decomposed factors index with grid-centered
+            # displacements; resize like the XLA path (get_rel_pos)
+            rel_h = resize_rel_pos(rel_h, h)
+            rel_w = resize_rel_pos(rel_w, w)
         out = det_flash_attention(
-            q, k, v, toep, params.get("rel_pos_h"), params.get("rel_pos_w"),
+            q, k, v, toep, rel_h, rel_w,
             (h, w), dh ** -0.5).reshape(b, l, c)
     else:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

@@ -87,13 +87,21 @@ class FCOSHead:
         """Host-side decode + class-wise NMS.  Returns per-image dicts of
         boxes (x0,y0,x1,y1), scores, labels."""
         batch = outputs[0][0].shape[0]
+        # one device computation + one host fetch per LEVEL (not per
+        # image-level pair): per-image slicing on device would refetch
+        # each level's maps B times over the tunnel
+        host_levels = [
+            (np.asarray(jax.nn.sigmoid(cls), np.float32),
+             np.asarray(jax.nn.sigmoid(ctr[..., 0]), np.float32),
+             np.asarray(box, np.float32))
+            for cls, box, ctr in outputs
+        ]
         results = []
         for b in range(batch):
             boxes_all, scores_all, labels_all = [], [], []
-            for (cls, box, ctr), stride in zip(outputs, self.strides):
-                cls_b = np.asarray(jax.nn.sigmoid(cls[b]), np.float32)
-                ctr_b = np.asarray(jax.nn.sigmoid(ctr[b, ..., 0]), np.float32)
-                box_b = np.asarray(box[b], np.float32)
+            for (cls_f, ctr_f, box_f), stride in zip(host_levels,
+                                                     self.strides):
+                cls_b, ctr_b, box_b = cls_f[b], ctr_f[b], box_f[b]
                 h, w, _ = cls_b.shape
                 ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
                 cx = (xs + 0.5) * stride
@@ -145,8 +153,13 @@ def nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float = 0.6) -> np.nd
 
 
 def batched_nms(boxes, scores, labels, iou_thresh: float = 0.6) -> np.ndarray:
-    """Class-wise NMS via the coordinate-offset trick."""
+    """Class-wise NMS via the coordinate-offset trick.  Shift by the
+    coordinate MINIMUM first: decoded boxes can have negative coords
+    (borders are not clipped), and a negative-coordinate box offset by
+    ``max * label`` lands inside the previous class's band, wrongly
+    suppressing across classes."""
     if len(boxes) == 0:
         return np.zeros((0,), np.int64)
-    offset = (boxes.max() + 1) * labels[:, None].astype(np.float32)
-    return nms(boxes + offset, scores, iou_thresh)
+    shifted = boxes - boxes.min()
+    offset = (shifted.max() + 1) * labels[:, None].astype(np.float32)
+    return nms(shifted + offset, scores, iou_thresh)

@@ -16,27 +16,12 @@ import jax.numpy as jnp
 
 def _bilinear(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """feat (H, W, C); y/x (...,) continuous pixel coords.  Zero padding
-    outside; returns (..., C)."""
-    h, w, _ = feat.shape
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
-    ty = y - y0
-    tx = x - x0
+    outside; returns (..., C).  Delegates to the canonical zero-padded
+    4-tap sampler shared with the deformable-attention op."""
+    from .ms_deform_attn import _bilinear_sample
 
-    def tap(yi, xi):
-        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        iy = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        ix = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        vals = feat[iy, ix]
-        return vals * inside[..., None].astype(vals.dtype)
-
-    v00 = tap(y0, x0)
-    v01 = tap(y0, x0 + 1)
-    v10 = tap(y0 + 1, x0)
-    v11 = tap(y0 + 1, x0 + 1)
-    top = v00 * (1 - tx[..., None]) + v01 * tx[..., None]
-    bot = v10 * (1 - tx[..., None]) + v11 * tx[..., None]
-    return top * (1 - ty[..., None]) + bot * ty[..., None]
+    h, w, c = feat.shape
+    return _bilinear_sample(feat.reshape(h * w, c), x, y, h, w)
 
 
 def roi_align(

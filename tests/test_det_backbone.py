@@ -155,3 +155,26 @@ def test_e2e_jitted_cascade_inference_512(res):
     assert scores.shape[0] == 4 and boxes.shape == (4, 4)
     assert np.isfinite(np.asarray(scores)).all()
     assert np.isfinite(np.asarray(boxes)).all()
+
+
+def test_decomposed_rel_bias_subgrid_centering():
+    """When the runtime grid is smaller than the table (global layers at
+    lower eval resolution), the table must be resized so displacement 0
+    reads the table CENTER (detectron2 get_rel_pos), not an off-center
+    row."""
+    import jax.numpy as jnp
+
+    from one_peace_tpu.vision.det_backbone import decomposed_rel_bias
+
+    bucket, h, dh = 8, 4, 4
+    # ramp table: row r has constant value r
+    ramp = jnp.broadcast_to(
+        jnp.arange(2 * bucket - 1, dtype=jnp.float32)[:, None],
+        (2 * bucket - 1, dh))
+    q = jnp.ones((1, h * h, 1, dh), jnp.float32)
+    bias = decomposed_rel_bias(q, ramp, ramp, (h, h))[0, 0]
+    # zero displacement (diagonal) must see the ramp's center value
+    # (bucket-1) in both axes: dh * (center_h + center_w)
+    center = float(dh * 2 * (bucket - 1))
+    diag = np.asarray(jnp.diagonal(bias))
+    np.testing.assert_allclose(diag, center, rtol=1e-5)

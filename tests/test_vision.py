@@ -223,3 +223,20 @@ def test_cascade_training_loss_and_mask_head():
     masks = mask_head(mparams, f16, proposals, jnp.array([0, 0, 0]))
     assert masks.shape == (3, 8, 8, 3)
     assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_batched_nms_no_cross_class_suppression_negative_coords():
+    """Boxes with negative coordinates (unclipped border decodes) must not
+    be suppressed across classes by the offset trick."""
+    from one_peace_tpu.vision.detection import batched_nms
+
+    # identical box, two classes -> both survive class-wise NMS
+    boxes = np.array([[-20.0, -10.0, 30.0, 40.0],
+                      [-20.0, -10.0, 30.0, 40.0]], np.float32)
+    scores = np.array([0.9, 0.8], np.float32)
+    labels = np.array([1, 0])
+    keep = batched_nms(boxes, scores, labels)
+    assert len(keep) == 2
+    # same class duplicates still collapse
+    keep_same = batched_nms(boxes, scores, np.array([1, 1]))
+    assert len(keep_same) == 1

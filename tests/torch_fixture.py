@@ -285,7 +285,8 @@ def audio_adapter_forward(sd, cfg, src_audios, audio_padding_masks):
     return x, pad_mask, biases
 
 
-def encoder_forward(sd, cfg, x, padding_mask, biases, encoder_type, split_lens):
+def encoder_forward(sd, cfg, x, padding_mask, biases, encoder_type,
+                    split_lens, _states=None):
     enc = cfg.encoder
     d = enc.embed_dim
     h = enc.attention_heads
@@ -347,6 +348,8 @@ def encoder_forward(sd, cfg, x, padding_mask, biases, encoder_type, split_lens):
         if f"{pre}.gamma_2" in sd:
             y = y * t(sd, f"{pre}.gamma_2")
         x = residual + y
+        if _states is not None:
+            _states.append(x.clone())
 
     def final_norm(seg, mod):
         name = f"encoder_wrapper.fusion_model.{mod}_layer_norm"
@@ -363,14 +366,19 @@ def encoder_forward(sd, cfg, x, padding_mask, biases, encoder_type, split_lens):
     return x
 
 
-def combine_biases(bias_lists, lens):
-    """Block-diagonal combine per-modality per-layer (H, l, l) biases."""
+def combine_biases(bias_lists, lens, num_heads=None):
+    """Block-diagonal combine per-modality per-layer (H, l, l) biases.
+    Modalities with biases=None (use_attn_bias=False) contribute zero
+    blocks; all-None returns None (encoder_forward handles it)."""
     present = [(b, l) for b, l in zip(bias_lists, lens) if l > 0]
-    n_tables = max(len(b) for b, _ in present if b is not None)
+    with_bias = [b for b, _ in present if b is not None]
+    if not with_bias:
+        return None
+    n_tables = max(len(b) for b in with_bias)
     L = sum(l for _, l in present)
     out = []
     for ti in range(n_tables):
-        h = present[0][0][0].shape[0]
+        h = with_bias[0][0].shape[0]
         full = torch.zeros(h, L, L)
         off = 0
         for b, l in present:
@@ -447,64 +455,11 @@ def add_classify_head_state(sd, cfg, num_classes, attn_pooling=False,
 def encoder_layer_states(sd, cfg, x, padding_mask, biases, encoder_type,
                          split_lens):
     """Per-layer hidden states (for the layer-by-layer drift harness,
-    SURVEY.md §7 hard part 1) — same math as encoder_forward but yielding
-    the output of every layer before the final modality LayerNorms."""
-    enc = cfg.encoder
-    d = enc.embed_dim
-    h = enc.attention_heads
-    hd = d // h
-    bsz, L, _ = x.shape
-    text_len, image_len, audio_len = split_lens
-    x = x * (1 - padding_mask.unsqueeze(-1).float())
-
-    def attn(xi, sd_pre, bias):
-        q = lin(xi, sd, f"{sd_pre}.q_proj") * hd**-0.5
-        k = lin(xi, sd, f"{sd_pre}.k_proj")
-        v = lin(xi, sd, f"{sd_pre}.v_proj")
-        q = q.view(bsz, L, h, hd).transpose(1, 2)
-        k = k.view(bsz, L, h, hd).transpose(1, 2)
-        v = v.view(bsz, L, h, hd).transpose(1, 2)
-        logits = q @ k.transpose(-1, -2)
-        if bias is not None:
-            logits = logits + bias
-        logits = logits.masked_fill(padding_mask.view(bsz, 1, 1, L), float("-inf"))
-        probs = F.softmax(logits.float(), dim=-1)
-        out = (probs @ v).transpose(1, 2).reshape(bsz, L, d)
-        if f"{sd_pre}.c_attn" in sd:
-            out = (out.view(bsz, L, h, hd) * t(sd, f"{sd_pre}.c_attn").view(h, 1)).reshape(bsz, L, d)
-        if f"{sd_pre}.ln.weight" in sd:
-            out = ln(out, sd, f"{sd_pre}.ln")
-        return lin(out, sd, f"{sd_pre}.out_proj")
-
-    def geglu(xi, base):
-        y = F.gelu(lin(xi, sd, f"{base}.0.wi_0")) * lin(xi, sd, f"{base}.0.wi_1")
-        if f"{base}.2.weight" in sd:
-            y = ln(y, sd, f"{base}.2")
-        return lin(y, sd, f"{base}.3")
-
+    SURVEY.md S7 hard part 1) — the output of every layer before the
+    final modality LayerNorms.  Thin wrapper over encoder_forward so the
+    two can never diverge (the previous copy had already silently
+    dropped the 'al' FFN branch)."""
     states = []
-    for li in range(enc.layers):
-        pre = f"encoder_wrapper.fusion_model.layers.{li}"
-        bias = None
-        if biases is not None:
-            bias = biases[li] if len(biases) > 1 else biases[0]
-        residual = x
-        y = ln(x, sd, f"{pre}.self_attn_layer_norm")
-        y = attn(y, f"{pre}.self_attn", bias)
-        if f"{pre}.attn_ln.weight" in sd:
-            y = ln(y, sd, f"{pre}.attn_ln")
-        if f"{pre}.gamma_1" in sd:
-            y = y * t(sd, f"{pre}.gamma_1")
-        x = residual + y
-        residual = x
-        y = ln(x, sd, f"{pre}.final_layer_norm")
-        if encoder_type in ("text", "image", "audio"):
-            y = geglu(y, f"{pre}.{encoder_type}_ffn")
-        elif encoder_type == "vl":
-            y = torch.cat([geglu(y[:, :text_len], f"{pre}.text_ffn"),
-                           geglu(y[:, text_len:], f"{pre}.image_ffn")], dim=1)
-        if f"{pre}.gamma_2" in sd:
-            y = y * t(sd, f"{pre}.gamma_2")
-        x = residual + y
-        states.append(x.clone())
+    encoder_forward(sd, cfg, x, padding_mask, biases, encoder_type,
+                    split_lens, _states=states)
     return states
