@@ -353,7 +353,13 @@ class FusionEncoder:
                 checkpoint_stages=cfg.checkpoint_activations)
             hiddens = None
         else:
-            x, hiddens = jax.lax.scan(body, x, scanned)
+            import os
+
+            # unroll>1 lets XLA fuse across layer boundaries but LOSES on
+            # chip (proxy fwd B=32: 460.5 img/s at 1, 432.2 at 2, 341.5
+            # at 4 — the bigger program blows VMEM locality); keep 1
+            unroll = int(os.environ.get("ONE_PEACE_SCAN_UNROLL", "1"))
+            x, hiddens = jax.lax.scan(body, x, scanned, unroll=unroll)
 
         # per-modality final LayerNorm (ref encoder:201-218)
         text_len, image_len, audio_len = split_lens
