@@ -108,3 +108,18 @@ def test_classify_model_from_converted_checkpoint(tmp_path):
                    audio_padding_masks=pad)
     assert logits.shape == (2, 6)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_process_image_ndarray_inputs(hub):
+    """ndarray inputs (pre-resized [0,1] float) work on both the host and
+    on-device paths (regression: hasattr probes mistook ndarrays for PIL
+    because ndarray.size/.resize exist)."""
+    rs = np.random.RandomState(0)
+    arr = rs.rand(32, 32, 3).astype(np.float32)  # patch_image_size of cfg
+    out = hub.process_image([arr])
+    assert out.shape == (1, 3, 32, 32)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    out_dev = hub.process_image([arr], on_device=True)
+    assert out_dev.shape == (1, 3, 32, 32)
+    # float [0,1] must NOT be truncated to zeros by a uint8 cast
+    assert float(np.abs(np.asarray(out_dev, np.float32)).max()) > 0.1
