@@ -97,12 +97,19 @@ def main():
     fetch(embed_audio(params, wav, pad))
     print(f"# audio compile {time.time()-t0:.0f}s", file=sys.stderr)
 
-    # timed steady state (fetch each step: the platform has no reliable
-    # async fence, and the (B, 1536) embedding copies are negligible)
+    # timed steady state: dispatch every step, fence ONCE at the end.
+    # TPU execution is in-order, so fetching the final outputs forces all
+    # queued steps; a per-step fetch would pay a full tunnel round-trip
+    # (~150 ms observed even for 8-byte copies) 2*STEPS times — a
+    # measurement artifact, not device throughput.  The final fetch (the
+    # only reliable fence on this platform) stays inside the window.
     t0 = time.time()
+    outs = []
     for _ in range(STEPS):
-        fetch(embed_images(params, imgs))
-        fetch(embed_audio(params, wav, pad))
+        outs.append(embed_images(params, imgs))
+        outs.append(embed_audio(params, wav, pad))
+    fetch(outs[-1])
+    fetch(outs[-2])
     dt = time.time() - t0
     items = STEPS * (IMG_BATCH + AUD_BATCH)
     per_chip = items / dt
