@@ -769,6 +769,60 @@ def _core_bwd(hw, scaling, heads, res, g):
 _det_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+def _shard_map_det_flash(q, k, v, toep, rel_h, rel_w, hw, scaling):
+    """shard_map wrapper for multi-chip det training: batch shards over
+    the data axes (dp, fsdp); the bias tables are replicated, and
+    shard_map's transpose inserts the psum over data axes for their
+    cotangents (same pattern as ops/attention._shard_map_flash, verified
+    by tests/test_det_attention.py::test_shard_map_*).  Returns None when
+    the batch does not divide the mesh (caller falls back to XLA)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .attention import _FLASH_MESH as mesh
+
+    names = set(mesh.axis_names)
+    data = tuple(a for a in ("dp", "fsdp") if a in names)
+    if not data:
+        return None
+    ndata = 1
+    for a in data:
+        ndata *= mesh.shape[a]
+    if q.shape[0] % max(ndata, 1):
+        return None
+
+    qkv_spec = P(data, None, None, None)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    args = [q, k, v]
+    for t in (toep, rel_h, rel_w):
+        if t is not None:
+            in_specs.append(P(*([None] * t.ndim)))
+            args.append(t)
+
+    def local_fn(*xs):
+        it = iter(xs)
+        q_, k_, v_ = next(it), next(it), next(it)
+        tp_ = next(it) if toep is not None else None
+        rh_ = next(it) if rel_h is not None else None
+        rw_ = next(it) if rel_w is not None else None
+        return _det_flash_direct(q_, k_, v_, tp_, rh_, rw_, hw, scaling)
+
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
+                         out_specs=qkv_spec, axis_names=set(data),
+                         check_vma=False)(*args)
+
+
+def _det_flash_direct(q, k, v, toep, rel_h, rel_w, hw, scaling):
+    b, l, heads, dh = q.shape
+    if rel_h is not None:
+        bh, bw = _compute_decomp(q, rel_h, rel_w, hw)
+    else:
+        bh = bw = None
+    out = _det_attention_core(
+        q.reshape(b, l, heads * dh), k.reshape(b, l, heads * dh),
+        v.reshape(b, l, heads * dh), toep, bh, bw, hw, scaling, heads)
+    return out.reshape(b, l, heads, dh)
+
+
 def det_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -786,29 +840,31 @@ def det_flash_attention(
     The decomposed-bias factors are computed OUTSIDE the custom-vjp core
     (two small einsums over the unscaled q) so their backward — drel_h /
     drel_w and the decomp contribution to dq — is ordinary XLA AD chained
-    onto the kernel's dbh/dbw cotangents."""
-    b, l, heads, dh = q.shape
-    if rel_h is not None:
-        bh, bw = _compute_decomp(q, rel_h, rel_w, hw)
-    else:
-        bh = bw = None
-    out = _det_attention_core(
-        q.reshape(b, l, heads * dh), k.reshape(b, l, heads * dh),
-        v.reshape(b, l, heads * dh), toep, bh, bw, hw, scaling, heads)
-    return out.reshape(b, l, heads, dh)
+    onto the kernel's dbh/dbw cotangents.
+
+    Under a registered multi-device mesh (ops.attention.set_flash_mesh)
+    the kernel runs through shard_map with the batch sharded over the
+    data axes — without it, multi-chip 1024px det training would fall
+    back to the materializing XLA path, which cannot compile there."""
+    from .attention import _flash_mode
+
+    if _flash_mode() == "shard_map":
+        out = _shard_map_det_flash(q, k, v, toep, rel_h, rel_w, hw, scaling)
+        if out is not None:
+            return out
+    return _det_flash_direct(q, k, v, toep, rel_h, rel_w, hw, scaling)
 
 
 def det_flash_supported(hw: Tuple[int, int], heads: int, dh: int) -> bool:
-    """Grids with Mosaic-legal tiles on a real TPU (or under the
-    interpreter for tests, where tiling is not enforced)."""
+    """Grids with Mosaic-legal tiles on a real TPU — single chip, or any
+    chip count with a registered mesh (the shard_map path) — or under the
+    interpreter for tests, where tiling is not enforced."""
+    from .attention import _flash_mode
+
     hg, wg = hw
-    try:
-        on_tpu = jax.default_backend() == "tpu" and jax.device_count() == 1
-    except Exception:
-        return False
     if _interpret():
         return hg >= 2 and wg >= 2
-    if not on_tpu:
+    if _flash_mode() == "off":
         return False
     return hg >= 2 and wg >= 2 and (dh % 8 == 0) \
         and _pick_rows(hg, wg) is not None

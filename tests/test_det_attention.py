@@ -182,3 +182,58 @@ def test_pallas_bwd_matches_xla_vjp(use_toep, use_decomp, monkeypatch):
     for name, a, want in zip(names, g_pal, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(want),
                                    rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def _mesh22():
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    return Mesh(devs, ("dp", "fsdp"))
+
+
+def test_shard_map_det_forward_and_grads(monkeypatch):
+    """Under a registered mesh the det kernel runs through shard_map
+    (batch over the data axes, bias tables replicated with psum'd
+    cotangents) and matches the single-device path exactly."""
+    from one_peace_tpu.ops import attention as attn
+
+    monkeypatch.setattr(attn, "_FLASH_MESH", _mesh22())
+    rs = np.random.RandomState(8)
+    b = 4
+    q, k, v = _qkv(rs, b=b)
+    toep = da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET)
+    rel_h = jnp.asarray(0.1 * rs.randn(2 * HG - 1, DH), jnp.float32)
+    rel_w = jnp.asarray(0.1 * rs.randn(2 * WG - 1, DH), jnp.float32)
+    assert attn._flash_mode() == "shard_map"
+
+    def loss(q, k, v, toep, rel_h, rel_w):
+        o = da.det_flash_attention(q, k, v, toep, rel_h, rel_w,
+                                   (HG, WG), SCALING)
+        return jnp.sum(jnp.sin(o))
+
+    g_sm = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))(
+        q, k, v, toep, rel_h, rel_w)
+    monkeypatch.setattr(attn, "_FLASH_MESH", None)
+    g_direct = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5)))(
+        q, k, v, toep, rel_h, rel_w)
+    for name, a, b_ in zip("q k v toep rel_h rel_w".split(), g_sm, g_direct):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_shard_map_det_indivisible_batch_falls_back(monkeypatch):
+    """A batch that does not divide the data axes still computes (direct
+    path), it just loses the fused sharding."""
+    from one_peace_tpu.ops import attention as attn
+
+    monkeypatch.setattr(attn, "_FLASH_MESH", _mesh22())
+    rs = np.random.RandomState(9)
+    q, k, v = _qkv(rs, b=3)  # 3 % 4 != 0
+    toep = da.toeplitz_tables(_table(rs), SRC_BUCKET, BUCKET)
+    out = da.det_flash_attention(q, k, v, toep, None, None, (HG, WG),
+                                 SCALING)
+    ref = da._xla_reference(
+        q.reshape(3, L, -1), k.reshape(3, L, -1), v.reshape(3, L, -1),
+        toep, None, None, (HG, WG), SCALING, HEADS)
+    np.testing.assert_allclose(np.asarray(out.reshape(3, L, -1)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
