@@ -163,6 +163,18 @@ class OnePeaceHubInterface:
                 "directory with encoder.json/vocab.bpe/dict.txt")
         self.tokenizer = TextTokenizer(bpe, max_src_length=task_cfg.max_src_length)
         self.feature_encoder_spec = model_cfg.encoder.audio_adapter.feature_encoder_spec
+        # frontend-aware samples->frames arithmetic (waveform conv stack or
+        # the optional fbank frontend; ref hub_interface.py:124-132)
+        ad_cfg = model_cfg.encoder.audio_adapter
+        if getattr(ad_cfg, "frontend", "waveform") == "fbank":
+            from .ops.preprocess import LogMelFbank
+
+            self._audio_out_len = LogMelFbank(
+                n_fft=ad_cfg.fbank_n_fft, hop=ad_cfg.fbank_hop,
+                n_mels=ad_cfg.fbank_n_mels).num_frames
+        else:
+            self._audio_out_len = lambda n: conv_output_length(
+                n, self.feature_encoder_spec)
 
         self.is_classify = model_cfg._name == "one_peace_classify"
         if self.is_classify:
@@ -198,7 +210,9 @@ class OnePeaceHubInterface:
         if isinstance(img, Image.Image):  # bicubic resize like the ref
             img = img.resize((size, size), Image.BICUBIC)
             arr = np.asarray(img, np.float32) / 255.0
-        else:  # ndarray: pre-resized, scaled to [0, 1]
+        elif np.asarray(img).dtype == np.uint8:  # pre-resized raw pixels
+            arr = np.asarray(img, np.float32) / 255.0
+        else:  # ndarray float: pre-resized, scaled to [0, 1]
             arr = np.asarray(img, np.float32)
         arr = (arr - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)
         return arr.transpose(2, 0, 1)  # CHW for API parity
@@ -260,11 +274,11 @@ class OnePeaceHubInterface:
             lengths.append(wav.shape[-1])
         max_len = max(lengths) if pad_to is None else max(pad_to, max(lengths))
         src = np.zeros((len(feats_list), max_len), np.float32)
-        t_out_max = conv_output_length(max_len, self.feature_encoder_spec)
+        t_out_max = self._audio_out_len(max_len)
         masks = np.ones((len(feats_list), t_out_max + 1), bool)
         for i, wav in enumerate(feats_list):
             src[i, : len(wav)] = wav
-            t_out = conv_output_length(len(wav), self.feature_encoder_spec)
+            t_out = self._audio_out_len(len(wav))
             masks[i, : t_out + 1] = False
         return jnp.asarray(src, self.dtype), jnp.asarray(masks)
 

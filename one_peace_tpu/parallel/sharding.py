@@ -71,10 +71,12 @@ def _path_str(key_path) -> str:
 
 def _with_pp(path: str, spec: P, leaf, pp_size: int) -> P:
     """Shard the leading (layers) axis of stacked encoder params over the
-    ``pp`` mesh axis (pipeline stages own disjoint layer ranges).  Stacks
-    whose depth does not divide the axis (e.g. the 2-layer pretrain
-    decoder) stay on the base rules."""
-    if not re.search(r"(^|/)layers/", path):
+    ``pp`` mesh axis (pipeline stages own disjoint layer ranges).  Only
+    the fusion-encoder stack is pipelined (models.pretrain/encoder route
+    it through parallel/pipeline.py); other stacks — e.g. the 2-layer
+    pretrain decoder, whose serial lax.scan over pp-sharded params would
+    force per-layer cross-stage gathers — stay on the base rules."""
+    if not re.search(r"(^|/)(encoder_wrapper|encoder)/fusion/layers/", path):
         return spec
     if np.ndim(leaf) == 0 or np.shape(leaf)[0] % pp_size:
         return spec

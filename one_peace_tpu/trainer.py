@@ -60,7 +60,7 @@ class Trainer:
         self.criterion = criterion
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.distributed.dp, cfg.distributed.fsdp, cfg.distributed.tp,
-            cfg.distributed.pp)
+            cfg.distributed.pp, sp=cfg.distributed.sp)
         if ("pp" in self.mesh.axis_names and self.mesh.shape["pp"] > 1
                 and hasattr(model, "enable_pipeline")):
             model.enable_pipeline(self.mesh, cfg.distributed.pp_micro_batches)
@@ -204,6 +204,7 @@ class Trainer:
             self.params, self.opt_state, metrics, self.loss_scale = self._train_step(
                 self.params, self.opt_state, jnp.asarray(self.step), batch, rng,
                 self.loss_scale)
+            skipped = metrics["skipped"]  # device scalar; gates the EMA
             if fetch_metrics:
                 metrics = {k: float(v) for k, v in metrics.items()}
             # without a fetch this measures dispatch, not execution
@@ -212,7 +213,7 @@ class Trainer:
             self.step += 1
             if self.ema is not None:
                 with jax.profiler.TraceAnnotation("ema_update"):
-                    self.ema.step(self.params, self.step)
+                    self.ema.step(self.params, self.step, skipped)
             return metrics
 
     def valid_step(self, batch, criterion=None):

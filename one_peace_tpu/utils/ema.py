@@ -30,20 +30,26 @@ class EMA:
     def _make_update(self):
         decay = self.cfg.ema_decay
 
-        def update(shadow, params):
+        def update(shadow, params, skipped):
+            # a skipped (non-finite) train step reverts params; the shadow
+            # must not move either (ref aborts the whole update on overflow)
+            keep = skipped > 0
             return jax.tree.map(
-                lambda s, p: s * decay + p.astype(s.dtype) * (1 - decay),
+                lambda s, p: jnp.where(
+                    keep, s, s * decay + p.astype(s.dtype) * (1 - decay)),
                 shadow, params)
 
         return update
 
-    def step(self, params, num_updates: int):
+    def step(self, params, num_updates: int, skipped=0.0):
         cfg = self.cfg
         if num_updates < cfg.ema_start_update:
-            # copy-through warmup (ref trainer: ema starts tracking late)
+            # copy-through warmup (ref trainer: ema starts tracking late);
+            # on a skipped step params were reverted, so the copy is a no-op
             self.shadow = _copy_tree(params, cfg.ema_fp32)
         elif num_updates % cfg.ema_update_freq == 0:
-            self.shadow = self._update(self.shadow, params)
+            self.shadow = self._update(self.shadow, params,
+                                       jnp.asarray(skipped, jnp.float32))
 
     def params(self, dtype=None):
         if dtype is None:
