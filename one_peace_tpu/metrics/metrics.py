@@ -17,24 +17,52 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
+def fetch_once(tree):
+    """One batched host fetch for everything a reducer accumulated.
+
+    Reducers store per-batch results WITHOUT converting (device arrays
+    stay device arrays), so the eval loop's dispatch never blocks on a
+    host round-trip; this single ``jax.device_get`` at merge time is the
+    only fetch of the eval pass (on axon each fetch is a ~150 ms tunnel
+    RTT — per-batch conversion made eval wall clock measurement-bound)."""
+    import jax
+
+    fetch_once.calls += 1
+    return jax.device_get(tree)
+
+
+fetch_once.calls = 0
+
+
 class Recall:
     def initialize(self, text_ids, text_logits):
-        self.text_ids = np.asarray(text_ids)
-        self.text_logits = np.asarray(text_logits, np.float32)
-        self.image_ids_list: List[np.ndarray] = []
-        self.image_logits_list: List[np.ndarray] = []
+        # accepts arrays OR lists of (possibly device) chunks; conversion
+        # is deferred to merge_results (fetch_once)
+        self.text_ids = text_ids
+        self.text_logits = (list(text_logits)
+                            if isinstance(text_logits, list) else [text_logits])
+        self.image_ids_list: List = []
+        self.image_logits_list: List = []
 
     def compute(self, image_ids, image_logits):
-        self.image_ids_list.append(np.asarray(image_ids))
-        self.image_logits_list.append(np.asarray(image_logits, np.float32))
+        self.image_ids_list.append(image_ids)
+        self.image_logits_list.append(image_logits)
 
     def merge_results(self, output_predict: bool = False) -> Dict:
         from .gather import gather_ragged
 
+        got = fetch_once({
+            "ti": self.text_ids, "tl": self.text_logits,
+            "ii": self.image_ids_list, "il": self.image_logits_list})
+        self.text_ids = np.asarray(got["ti"])
+        self.text_logits = np.concatenate(
+            [np.asarray(x, np.float32) for x in got["tl"]])
         # multi-host: each process holds its shard of the eval set; gather
         # variable-length results in rank order (ref data_utils.py:50-86)
-        image_ids = gather_ragged(np.concatenate(self.image_ids_list))
-        image_logits = gather_ragged(np.concatenate(self.image_logits_list))
+        image_ids = gather_ragged(np.concatenate(
+            [np.asarray(x) for x in got["ii"]]))
+        image_logits = gather_ragged(np.concatenate(
+            [np.asarray(x, np.float32) for x in got["il"]]))
         sim_i2t = image_logits @ self.text_logits.T
         return self.retrieval_eval(image_ids, sim_i2t, output_predict)
 
@@ -76,23 +104,25 @@ class Recall:
 
 class Accuracy:
     def initialize(self):
-        self.ncorrect = 0.0
+        self.ncorrect_list: List = []
         self.total = 0
 
     def compute(self, logits=None, targets=None, ncorrect=None, count=None):
         if ncorrect is not None:
-            self.ncorrect += float(ncorrect)
+            # ncorrect may be a device scalar; fetched once at merge
+            self.ncorrect_list.append(ncorrect)
             self.total += int(count)
         else:
-            logits = np.asarray(logits)
-            targets = np.asarray(targets)
-            self.ncorrect += float((logits.argmax(-1) == targets).sum())
+            # argmax/compare stay on the producing backend (device for jax
+            # arrays); only the per-batch scalar is accumulated
+            self.ncorrect_list.append((logits.argmax(-1) == targets).sum())
             self.total += len(targets)
 
     def merge_results(self) -> Dict:
         from .gather import allsum
 
-        ncorrect = float(allsum(self.ncorrect))
+        ncorrect = float(sum(float(x) for x in fetch_once(self.ncorrect_list)))
+        ncorrect = float(allsum(ncorrect))
         total = int(allsum(self.total))
         return {"accuracy": 100.0 * ncorrect / max(total, 1),
                 "count": total}
@@ -132,20 +162,23 @@ class IouAcc:
 
 class MAP:
     def initialize(self):
-        self.logits: List[np.ndarray] = []
-        self.targets: List[np.ndarray] = []
+        self.logits: List = []
+        self.targets: List = []
 
     def compute(self, ids, logits, targets):
-        self.logits.append(np.asarray(logits, np.float32))
-        self.targets.append(np.asarray(targets, np.float32))
+        self.logits.append(logits)
+        self.targets.append(targets)
 
     def merge_results(self) -> Dict:
         from sklearn.metrics import average_precision_score
 
         from .gather import gather_ragged
 
-        logits = gather_ragged(np.concatenate(self.logits))
-        targets = gather_ragged(np.concatenate(self.targets))
+        got = fetch_once({"l": self.logits, "t": self.targets})
+        logits = gather_ragged(np.concatenate(
+            [np.asarray(x, np.float32) for x in got["l"]]))
+        targets = gather_ragged(np.concatenate(
+            [np.asarray(x, np.float32) for x in got["t"]]))
         preds = 1.0 / (1.0 + np.exp(-logits))
         ap = average_precision_score(targets, preds, average=None)
         return {"map": 100.0 * float(np.mean(ap)), "count": len(targets)}
@@ -170,11 +203,24 @@ class MIoU:
         target = np.asarray(target).ravel()
         valid = target != self.ignore_index
         pred, target = pred[valid], target[valid]
-        for c in range(self.num_classes):
-            p = pred == c
-            t = target == c
-            self.intersection[c] += np.logical_and(p, t).sum()
-            self.union[c] += np.logical_or(p, t).sum()
+        n = self.num_classes
+        # one confusion-matrix bincount instead of a per-class sweep
+        # (896 px eval maps make the per-class loop the eval bottleneck)
+        pred = np.clip(pred, 0, n - 1)
+        cm = np.bincount(target.astype(np.int64) * n + pred,
+                         minlength=n * n).reshape(n, n)
+        inter = np.diag(cm)
+        self.intersection += inter
+        self.union += cm.sum(0) + cm.sum(1) - inter
+
+    def update_confusion(self, cm: np.ndarray):
+        """Fold a (C, C) confusion matrix (rows = target, cols = pred) into
+        the accumulators — the device-side eval path computes the per-batch
+        confusion on the accelerator and feeds the summed matrix here."""
+        cm = np.asarray(cm, np.int64)
+        inter = np.diag(cm)
+        self.intersection += inter
+        self.union += cm.sum(0) + cm.sum(1) - inter
 
     def merge_results(self) -> Dict:
         from .gather import allsum
@@ -191,8 +237,11 @@ class MIoU:
 
 class DetectionAP:
     """COCO-style average precision over IoU thresholds .5:.05:.95
-    (the detection app's metric).  Single-machine accumulation of
-    per-image detections and ground truths."""
+    (the detection app's metric).  Per-image detections and ground truths
+    accumulate locally; ``merge_results`` gathers the ragged per-image
+    lists across processes (packed values + per-image counts through
+    ``gather_ragged``, the ref padded all_gather pattern of
+    utils/data_utils.py:50-86) so sharded eval reproduces single-host AP."""
 
     def __init__(self, num_classes: int,
                  iou_thresholds: Optional[List[float]] = None):
@@ -267,7 +316,23 @@ class DetectionAP:
             ap += float(p.max()) if len(p) else 0.0
         return ap / 101
 
+    def _sync_across_processes(self):
+        """Rebuild self.dets/self.gts as the process-ordered union of every
+        process's per-image lists.  Ragged lists are exchanged as packed
+        value arrays + per-image counts (each gathered with gather_ragged,
+        which handles the variable leading dim)."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from . import gather as g
+
+        packed = _pack_ragged_images(self.dets, self.gts)
+        gathered = {k: g.gather_ragged(v) for k, v in packed.items()}
+        self.dets, self.gts = _unpack_ragged_images(gathered)
+
     def merge_results(self) -> Dict:
+        self._sync_across_processes()
         aps_all, aps_50 = [], []
         for c in range(self.num_classes):
             raw = [self._ap_for(c, t) for t in self.thresholds]
@@ -284,3 +349,45 @@ class DetectionAP:
             "ap50": 100.0 * float(np.mean(aps_50)) if aps_50 else 0.0,
             "classes_with_gt": len(aps_all),
         }
+
+
+def _pack_ragged_images(dets: List[Dict], gts: List[Dict]) -> Dict[str, np.ndarray]:
+    """Per-image ragged det/gt lists -> fixed-rank packed arrays + counts
+    (the exchange format for cross-process gather)."""
+    def cat(arrs, width=None):
+        arrs = [np.asarray(a) for a in arrs]
+        if width is not None:
+            arrs = [a.reshape(-1, width) for a in arrs]
+        empty = (np.zeros((0, width), np.float64) if width is not None
+                 else np.zeros((0,), np.float64))
+        return np.concatenate(arrs, axis=0) if arrs else empty
+
+    return {
+        "det_counts": np.asarray([len(d["scores"]) for d in dets], np.int64),
+        "det_boxes": cat([d["boxes"] for d in dets], 4).astype(np.float64),
+        "det_scores": cat([d["scores"] for d in dets]).astype(np.float64),
+        "det_labels": cat([d["labels"] for d in dets]).astype(np.int64),
+        "gt_counts": np.asarray([len(g["labels"]) for g in gts], np.int64),
+        "gt_boxes": cat([g["boxes"] for g in gts], 4).astype(np.float64),
+        "gt_labels": cat([g["labels"] for g in gts]).astype(np.int64),
+    }
+
+
+def _unpack_ragged_images(p: Dict[str, np.ndarray]):
+    """Inverse of _pack_ragged_images (works on the gathered concatenation
+    because counts arrive in the same process order as the values)."""
+    dets, gts = [], []
+    off = 0
+    for n in p["det_counts"]:
+        n = int(n)
+        dets.append({"boxes": p["det_boxes"][off:off + n],
+                     "scores": p["det_scores"][off:off + n],
+                     "labels": p["det_labels"][off:off + n]})
+        off += n
+    off = 0
+    for n in p["gt_counts"]:
+        n = int(n)
+        gts.append({"boxes": p["gt_boxes"][off:off + n],
+                    "labels": p["gt_labels"][off:off + n]})
+        off += n
+    return dets, gts

@@ -55,9 +55,8 @@ class RetrievalTaskMixin:
                                   encoder_type="text")
             if isinstance(out, tuple):
                 out = out[0]
-            logits_list.append(np.asarray(out, np.float32))
-        self.metric.initialize(np.asarray(self.text_ids),
-                               np.concatenate(logits_list))
+            logits_list.append(out)  # device arrays; one fetch at merge
+        self.metric.initialize(np.asarray(self.text_ids), logits_list)
 
     def valid_step(self, model, params, batch):
         if self.side == "image":
@@ -72,7 +71,10 @@ class RetrievalTaskMixin:
                 encoder_type="audio")
         if isinstance(out, tuple):
             out = out[0]
-        self.metric.compute(np.asarray(batch["id"]), np.asarray(out, np.float32))
+        # no per-batch host fetch: the reducer stores the device array and
+        # fetches everything once in merge_results (ref defers aggregation
+        # to reduce_metrics the same way, logging/metrics.py:44-60)
+        self.metric.compute(np.asarray(batch["id"]), out)
 
     def merge_results(self, output_predict: bool = False) -> Dict:
         stats = self.metric.merge_results(output_predict=output_predict)
@@ -206,7 +208,8 @@ class ClassifyTaskBase(BaseTask):
 
     def valid_step(self, model, params, batch):
         logits = self.eval_model(model, params, self._net_input(batch))
-        self.metric.compute(np.asarray(logits), np.asarray(batch["target"]))
+        # device logits; the reducer defers the fetch to merge_results
+        self.metric.compute(logits, np.asarray(batch["target"]))
 
     def merge_results(self) -> Dict:
         return self.metric.merge_results()
@@ -220,11 +223,13 @@ class VqaTask(ClassifyTaskBase):
     criterion_name = "classify_criterion"
 
     def valid_step(self, model, params, batch):
+        import jax.numpy as jnp
+
         logits = self.eval_model(model, params, self._net_input(batch))
-        preds = np.asarray(logits).argmax(-1)
-        targets = np.asarray(batch["target"])  # (B, answer_cnt) soft
-        score = targets[np.arange(len(preds)), preds].sum()
-        self.metric.compute(ncorrect=score, count=len(preds))
+        preds = logits.argmax(-1)  # on device
+        targets = jnp.asarray(batch["target"])  # (B, answer_cnt) soft
+        score = jnp.take_along_axis(targets, preds[:, None], axis=1).sum()
+        self.metric.compute(ncorrect=score, count=int(preds.shape[0]))
 
 
 @TASKS.register("nlvr2")
@@ -295,8 +300,7 @@ class Fsd50kTask(BaseTask):
             model, params,
             {"src_audios": batch["src_audios"],
              "audio_padding_masks": batch["audio_padding_masks"]})
-        self.metric.compute(batch["id"], np.asarray(logits),
-                            np.asarray(batch["target"]))
+        self.metric.compute(batch["id"], logits, np.asarray(batch["target"]))
 
     def merge_results(self) -> Dict:
         return self.metric.merge_results()
@@ -320,7 +324,7 @@ class AqaTask(ClassifyTaskBase):
             model, params,
             {"src_tokens": batch["src_tokens"], "src_audios": audios,
              "audio_padding_masks": pads})
-        logits = np.asarray(logits).reshape(-1, num_choices)
+        logits = logits.reshape(-1, num_choices)  # device reshape
         self.metric.compute(logits, np.asarray(batch["target"]))
 
 
