@@ -26,6 +26,10 @@ def build_model_for_task(cfg, task):
     from .. import models  # noqa: F401  (populates the registry)
     from ..core.registry import MODELS
 
+    if hasattr(task, "build_model"):
+        # vision-transfer tasks assemble their own zoo model from the
+        # encoder dims + task fields (tasks/vision_tasks.py)
+        return task.build_model(cfg)
     name = cfg.model._name
     cfg.model.encoder.image_adapter.rel_bucket_size = cfg.task.patch_image_size // 16
     cfg.model.encoder.text_adapter.vocab_size = len(task.dictionary)
@@ -72,7 +76,13 @@ def main(argv: Optional[list] = None) -> int:
     params = None
     if cfg.checkpoint.restore_file and os.path.exists(cfg.checkpoint.restore_file):
         path = cfg.checkpoint.restore_file
-        if path.endswith(".pt"):
+        if path.endswith(".pt") and hasattr(model, "load_pretrained"):
+            # vision-transfer init from a pretrain checkpoint: trunk from
+            # the .pt, task heads fresh (ref strict=False load)
+            from ..utils.checkpoint_convert import load_torch_state_dict
+
+            params = model.load_pretrained(load_torch_state_dict(path))
+        elif path.endswith(".pt"):
             from ..utils.checkpoint_convert import (
                 convert_retrieval_model, load_torch_state_dict, to_jax)
 

@@ -51,6 +51,14 @@ class ImageAdapterConfig:
 
 @dataclass
 class AudioAdapterConfig:
+    # frontend: 'waveform' = the reference's conv stack on the LayerNormed
+    # raw waveform (parity default; ref adapter/audio.py:35-55); 'fbank' =
+    # log-mel filterbank frames -> LN -> Linear (the optional frontend of
+    # BASELINE.json, ops/preprocess.LogMelFbank)
+    frontend: str = "waveform"
+    fbank_n_mels: int = 80
+    fbank_n_fft: int = 400
+    fbank_hop: int = 160
     feature_embed_dim: int = 512
     # wav2vec2-style conv stack: (channels, kernel, stride) per layer
     # (ref: unify_model_config.py:74-77)
@@ -201,6 +209,26 @@ class TaskConfig:
     mixup_prob: float = 1.0
     mixup_switch_prob: float = 0.5
     label_smoothing: float = 0.0
+    # vision-transfer apps (coco_detection / ade20k_seg / k400_video):
+    # ``data``/``valid_data`` hold the annotation file (COCO json, video
+    # ann txt) or the "img_dir:ann_dir" pair (seg); image roots go here
+    image_dir: str = ""
+    valid_image_dir: str = ""
+    image_size: int = 1024  # det input size / seg crop / video crop
+    max_boxes: int = 100  # static GT slot budget per image (det)
+    max_proposals: int = 512  # proposal budget per image at eval (det)
+    with_masks: bool = True
+    mask_stride: int = 4  # GT instance-mask raster stride
+    lsj_min_scale: float = 0.1  # detectron2 large-scale-jitter range
+    lsj_max_scale: float = 2.0
+    ignore_index: int = 255
+    reduce_zero_label: bool = True  # ADE20K 0->ignore relabeling
+    num_frames: int = 16
+    frame_tmpl: str = "img_{:05d}.jpg"  # mmaction2 rawframes naming
+    # detection trunk structure (ref ViTDet window pattern) + proposer
+    window_size: int = 16
+    global_period: int = 4
+    proposer: str = "fcos"  # fcos | rpn
 
 
 @dataclass
@@ -298,6 +326,9 @@ class DistributedConfig:
     # micro-batching, parallel/pipeline.py); 1 = off
     pp: int = 1
     pp_micro_batches: int = 4
+    # sequence parallelism: ring attention over a trailing 'sp' mesh axis
+    # (ops/ring_attention.py; select with model.encoder.attn_impl=ring)
+    sp: int = 1
     # ZeRO-style parameter/optimizer sharding over the fsdp axis
     shard_params: bool = True
 

@@ -9,3 +9,4 @@ from .criterions import (  # noqa: F401
     RefCOCOCriterion,
     build_criterion,
 )
+from . import vision_criterions  # noqa: F401

@@ -1,0 +1,254 @@
+"""Vision-transfer tasks: COCO detection, ADE20K segmentation, K400 video.
+
+These make the three vision-transfer apps end-to-end drivable through the
+standard CLI (``cli/train.py task._name=coco_detection ...`` /
+``cli/evaluate.py``), the role the reference fills with per-app drivers
+on third-party stacks (ref one_peace_vision/det/lazyconfig_train_net.py,
+seg/train.py + seg/test.py, video/train.py + video/test.py and their
+config trees).
+
+Unlike the multimodal tasks they need no BPE/tokenizer and no TSV table;
+each task builds its own zoo model (vision/zoo.py) from the config's
+encoder dims + task fields, loads the matching dataset
+(data/vision_datasets.py), and runs a jitted, deferred-fetch eval loop
+into the right reducer (DetectionAP / MIoU / Accuracy).
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict
+
+import numpy as np
+
+from ..core.registry import TASKS
+from ..data.iterators import EpochBatchIterator
+from ..data.vision_datasets import (
+    Ade20kSegDataset,
+    CocoDetectionDataset,
+    RawframeVideoDataset,
+    vision_collate,
+)
+from ..metrics import Accuracy
+from ..metrics.metrics import DetectionAP, MIoU
+
+
+class VisionTaskBase:
+    """Task contract (load_dataset / iterator / eval hooks) without the
+    BPE + TSV machinery of BaseTask."""
+
+    criterion_name = ""
+
+    def __init__(self, cfg, framework_cfg=None):
+        self.cfg = cfg
+        self.framework_cfg = framework_cfg
+        self.datasets: Dict[str, object] = {}
+        self._eval_fns: Dict = {}
+
+    def build_dataset(self, split: str):
+        raise NotImplementedError
+
+    def build_model(self, cfg):
+        raise NotImplementedError
+
+    def load_dataset(self, split: str):
+        self.datasets[split] = self.build_dataset(split)
+        return self.datasets[split]
+
+    def get_batch_iterator(self, split: str, batch_size: int, seed: int = 3407,
+                           shard_id: int = 0, num_shards: int = 1,
+                           ensure_equal_batch: bool = True,
+                           skip_remainder_batch: bool = False) -> EpochBatchIterator:
+        return EpochBatchIterator(
+            self.datasets[split],
+            collate_fn=vision_collate,
+            batch_size=batch_size,
+            seed=seed,
+            shard_id=shard_id,
+            num_shards=num_shards,
+            shuffle=(split == "train"),
+            ensure_equal_batch=ensure_equal_batch,
+            skip_remainder_batch=skip_remainder_batch,
+        )
+
+    def _jit(self, key, fn):
+        import jax
+
+        if key not in self._eval_fns:
+            self._eval_fns[key] = jax.jit(fn)
+        return self._eval_fns[key]
+
+    @property
+    def eval_compiles(self) -> int:
+        return len(self._eval_fns)
+
+    def begin_valid_epoch(self, model, params):
+        self.metric.initialize()
+
+    def merge_results(self) -> Dict:
+        return self.metric.merge_results()
+
+
+@TASKS.register("coco_detection")
+class CocoDetectionTask(VisionTaskBase):
+    """Cascade Mask R-CNN finetuning on COCO (ref det/ app: detectron2
+    lazyconfig driver + cascade_mask_rcnn_vitdet_50ep recipe)."""
+
+    criterion_name = "detection_criterion"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        self.metric = DetectionAP(num_classes=cfg.num_classes)
+
+    def build_dataset(self, split: str):
+        c = self.cfg
+        ann = c.data if split == "train" else c.valid_data
+        img_dir = c.image_dir if split == "train" else (
+            c.valid_image_dir or c.image_dir)
+        return CocoDetectionDataset(
+            split, ann, img_dir, image_size=c.image_size,
+            max_boxes=c.max_boxes, with_masks=c.with_masks,
+            mask_stride=c.mask_stride, lsj_min_scale=c.lsj_min_scale,
+            lsj_max_scale=c.lsj_max_scale)
+
+    def build_model(self, cfg):
+        from ..vision.zoo import OnePeaceDetector
+
+        enc = cfg.model.encoder
+        t = cfg.task
+        return OnePeaceDetector(
+            num_classes=t.num_classes, image_size=t.image_size,
+            with_masks=t.with_masks, proposer=t.proposer,
+            embed_dim=enc.embed_dim, ffn_embed_dim=enc.ffn_embed_dim,
+            heads=enc.attention_heads, layers=enc.layers,
+            window_size=t.window_size, global_period=t.global_period,
+            drop_path_rate=enc.drop_path_rate,
+            checkpoint_activations=enc.checkpoint_activations,
+            attn_impl=enc.attn_impl)
+
+    def valid_step(self, model, params, batch):
+        results = model.detect(params, batch["src_images"],
+                               max_proposals=self.cfg.max_proposals)
+        gt_boxes = np.asarray(batch["gt_boxes"])
+        gt_labels = np.asarray(batch["gt_labels"])
+        gt_valid = np.asarray(batch["gt_valid"])
+        for b, det in enumerate(results):
+            v = gt_valid[b]
+            self.metric.compute(det["boxes"], det["scores"], det["labels"],
+                                gt_boxes[b][v], gt_labels[b][v])
+
+
+@TASKS.register("ade20k_seg")
+class Ade20kSegTask(VisionTaskBase):
+    """UperNet + ViT-Adapter semantic segmentation (ref seg/ app:
+    upernet_onepeace_adapter_896 recipes on mmseg)."""
+
+    criterion_name = "segmentation_criterion"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        if cfg.num_classes == 1000:  # the classify default is meaningless here
+            cfg.num_classes = 150
+        self.metric = MIoU(num_classes=cfg.num_classes,
+                           ignore_index=cfg.ignore_index)
+
+    def build_dataset(self, split: str):
+        c = self.cfg
+        spec = c.data if split == "train" else c.valid_data
+        img_dir, _, ann_dir = spec.partition(":")
+        return Ade20kSegDataset(
+            split, img_dir, ann_dir, crop_size=c.image_size,
+            num_classes=c.num_classes, ignore_index=c.ignore_index,
+            reduce_zero_label=c.reduce_zero_label)
+
+    def build_model(self, cfg):
+        from ..vision.zoo import OnePeaceSegmenter
+
+        enc_cfg = copy.deepcopy(cfg.model.encoder)
+        t = cfg.task
+        grid = t.image_size // 16
+        enc_cfg.image_adapter.bucket_size = grid
+        enc_cfg.image_adapter.rel_bucket_size = grid
+        return OnePeaceSegmenter(enc_cfg, num_classes=t.num_classes)
+
+    def begin_valid_epoch(self, model, params):
+        self.metric.initialize()
+        self._cm_dev = None
+
+    def valid_step(self, model, params, batch):
+        """Device-side per-batch confusion matrix; the (C, C) accumulator
+        lives on device and is fetched ONCE in merge_results (no per-batch
+        host round-trip)."""
+        import jax.numpy as jnp
+
+        c = self.metric.num_classes
+        ign = self.metric.ignore_index
+
+        def conf(p, x, t):
+            pred = jnp.argmax(model.logits(p, x), axis=-1).astype(jnp.int32)
+            stride = t.shape[-1] // pred.shape[-1]
+            pred = jnp.repeat(jnp.repeat(pred, stride, 1), stride, 2)
+            pred = pred[:, : t.shape[1], : t.shape[2]]
+            valid = t != ign
+            safe_t = jnp.where(valid, t, 0)
+            idx = jnp.where(valid,
+                            safe_t * c + jnp.clip(pred, 0, c - 1), c * c)
+            cm = jnp.bincount(idx.reshape(-1), length=c * c + 1)[: c * c]
+            return cm.reshape(c, c)
+
+        fn = self._jit("seg_conf", conf)
+        cm = fn(params, batch["src_images"], jnp.asarray(batch["target"]))
+        self._cm_dev = cm if self._cm_dev is None else self._cm_dev + cm
+
+    def merge_results(self) -> Dict:
+        from ..metrics.metrics import fetch_once
+
+        if self._cm_dev is not None:
+            self.metric.update_confusion(fetch_once(self._cm_dev))
+            self._cm_dev = None
+        return self.metric.merge_results()
+
+
+@TASKS.register("k400_video")
+class K400VideoTask(VisionTaskBase):
+    """Frozen-trunk AIM video classification (ref video/ app: mmaction2
+    recognizer recipes)."""
+
+    criterion_name = "video_classify_criterion"
+
+    def __init__(self, cfg, framework_cfg=None):
+        super().__init__(cfg, framework_cfg)
+        if cfg.num_classes == 1000:
+            cfg.num_classes = 400
+        self.metric = Accuracy()
+
+    def build_dataset(self, split: str):
+        c = self.cfg
+        ann = c.data if split == "train" else c.valid_data
+        root = c.image_dir if split == "train" else (
+            c.valid_image_dir or c.image_dir)
+        return RawframeVideoDataset(
+            split, ann, root, num_frames=c.num_frames,
+            image_size=c.image_size, frame_tmpl=c.frame_tmpl)
+
+    def build_model(self, cfg):
+        from ..vision.zoo import OnePeaceVideoClassifier
+
+        enc = cfg.model.encoder
+        t = cfg.task
+        return OnePeaceVideoClassifier(
+            num_classes=t.num_classes, embed_dim=enc.embed_dim,
+            ffn_embed_dim=enc.ffn_embed_dim, heads=enc.attention_heads,
+            layers=enc.layers, bucket_size=t.image_size // 16,
+            num_frames=t.num_frames, drop_path_rate=enc.drop_path_rate,
+            checkpoint_activations=enc.checkpoint_activations)
+
+    def valid_step(self, model, params, batch):
+        import jax.numpy as jnp
+
+        fn = self._jit("video_pred", lambda p, x: jnp.argmax(
+            model(p, x), axis=-1).astype(jnp.int32))
+        pred = fn(params, batch["src_videos"])  # stays on device
+        target = jnp.asarray(batch["target"])
+        self.metric.compute(ncorrect=(pred == target).sum(),
+                            count=int(pred.shape[0]))

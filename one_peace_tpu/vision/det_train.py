@@ -133,19 +133,21 @@ def fcos_loss(head, params, feats: List[jnp.ndarray], gt_boxes, gt_labels,
 
 
 def mask_loss(head, params, features, boxes, batch_indices, gt_masks,
-              mask_labels, valid) -> jnp.ndarray:
+              mask_labels, valid, mask_stride: int = 1) -> jnp.ndarray:
     """BCE of the GT-class mask logits against the GT mask RoI-cropped to
     each box.  gt_masks (B, H, W) float {0,1} per matched instance is
     approximated by a per-box crop of the instance's full-image mask:
-    gt_masks here is (N, H, W) — the matched instance mask per box."""
+    gt_masks here is (N, H/ms, W/ms) — the matched instance mask per box,
+    rasterized at stride ``mask_stride`` of the input pixels."""
     logits = head(params, features, boxes, batch_indices)  # (N, s, s, C)
     n, s, _, _ = logits.shape
     sel = jnp.take_along_axis(
         logits, mask_labels[:, None, None, None].astype(jnp.int32), axis=-1
     )[..., 0]  # (N, s, s)
-    # crop each gt mask to its box at the mask resolution (scale 1: masks
-    # are in input pixels)
-    tgt = roi_align(gt_masks[..., None].astype(jnp.float32), boxes,
+    # crop each gt mask to its box at the mask resolution (boxes are in
+    # input pixels; rescale to the GT raster's stride)
+    tgt = roi_align(gt_masks[..., None].astype(jnp.float32),
+                    boxes / float(mask_stride),
                     jnp.arange(n, dtype=jnp.int32), output_size=s,
                     spatial_scale=1.0)[..., 0]
     tgt = (tgt > 0.5).astype(jnp.float32)
@@ -157,11 +159,16 @@ def mask_loss(head, params, features, boxes, batch_indices, gt_masks,
 def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
                            gt_valid, gt_masks: Optional[jnp.ndarray] = None,
                            rng: Optional[jax.Array] = None,
-                           proposal_jitter: float = 0.1):
+                           proposal_jitter: float = 0.1,
+                           mask_stride: int = 1):
     """Full Cascade-Mask-R-CNN-style training objective (jittable).
 
     images (B, 3, H, W); gt_boxes (B, M, 4); gt_labels (B, M);
-    gt_valid (B, M); gt_masks (B, M, H, W) binary or None.
+    gt_valid (B, M); gt_masks (B, M, H/ms, W/ms) binary or None, stored at
+    stride ``mask_stride`` (boxes are rescaled before the mask-target
+    RoIAlign, so a stride-4 GT mask raster costs 1/16 the host memory of
+    full resolution with no change to the loss semantics beyond raster
+    granularity).
 
     The cascade trains on jittered GT boxes (the detectron2 recipe adds
     GT boxes to the sampled proposals; with a fixed budget the jittered
@@ -172,8 +179,14 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
     pyr = detector.fpn(params["fpn"], f16)
     feats = [pyr[k] for k in detector.PYRAMID_KEYS]
 
-    loss_fcos, metrics = fcos_loss(detector.proposer, params["proposer"],
-                                   feats, gt_boxes, gt_labels, gt_valid)
+    if getattr(detector, "proposer_kind", "fcos") == "rpn":
+        from .rpn import rpn_loss
+
+        loss_fcos, metrics = rpn_loss(detector.proposer, params["proposer"],
+                                      feats, gt_boxes, gt_labels, gt_valid)
+    else:
+        loss_fcos, metrics = fcos_loss(detector.proposer, params["proposer"],
+                                       feats, gt_boxes, gt_labels, gt_valid)
 
     # cascade on jittered GTs, vmapped per image (keeps assignment IoUs
     # within each image and RoIAlign in raw coordinates)
@@ -208,7 +221,8 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
                        props.reshape(-1, 4),
                        jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), m),
                        gt_masks.reshape((-1,) + gt_masks.shape[2:]),
-                       labels_flat, valid_flat)
+                       labels_flat, valid_flat,
+                       mask_stride=mask_stride)
         metrics["mask_loss"] = lm
         loss = loss + lm
     metrics["loss"] = loss

@@ -14,16 +14,6 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """feat (H, W, C); y/x (...,) continuous pixel coords.  Zero padding
-    outside; returns (..., C).  Delegates to the canonical zero-padded
-    4-tap sampler shared with the deformable-attention op."""
-    from .ms_deform_attn import _bilinear_sample
-
-    h, w, c = feat.shape
-    return _bilinear_sample(feat.reshape(h * w, c), x, y, h, w)
-
-
 def roi_align(
     features: jnp.ndarray,
     rois: jnp.ndarray,
@@ -56,13 +46,29 @@ def roi_align(
     ys = ys - 0.5
     xs = xs - 0.5
 
-    def one_roi(b_idx, ys_i, xs_i):
-        feat = features[b_idx]
-        yy = jnp.repeat(ys_i, s * r).reshape(s * r, s * r)
-        xx = jnp.tile(xs_i, (s * r, 1))
-        sampled = _bilinear(feat, yy, xx)  # (S*r, S*r, C)
-        c = sampled.shape[-1]
-        pooled = sampled.reshape(s, r, s, r, c).mean(axis=(1, 3))
-        return pooled
-
-    return jax.vmap(one_roi)(batch_indices, ys, xs)
+    # 4-tap bilinear over a batch-flattened feature map: one gather per
+    # tap, never materializing a per-roi (H, W, C) copy (a vmap'd
+    # features[b_idx] gather costs N full feature maps — gigabytes at
+    # detection scale).  Out-of-image taps contribute zero (detectron2
+    # zero-padding semantics), guarded explicitly because the flat index
+    # space spans the whole batch.
+    b, h, w, c = features.shape
+    n = rois.shape[0]
+    flat = features.reshape(b * h * w, c)
+    yy = ys[:, :, None]  # (N, S*r, 1) broadcasting rows
+    xx = xs[:, None, :]  # (N, 1, S*r)
+    y0f = jnp.floor(yy)
+    x0f = jnp.floor(xx)
+    base = batch_indices.astype(jnp.int32)[:, None, None] * (h * w)
+    acc = jnp.zeros((n, s * r, s * r, c), features.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            yi = y0f + dy
+            xi = x0f + dx
+            wgt = ((1.0 - jnp.abs(yy - yi)) * (1.0 - jnp.abs(xx - xi)))
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            wgt = jnp.where(valid, wgt, 0.0).astype(features.dtype)
+            idx = base + (jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
+                          + jnp.clip(xi, 0, w - 1).astype(jnp.int32))
+            acc = acc + wgt[..., None] * flat[idx]
+    return acc.reshape(n, s, r, s, r, c).mean(axis=(2, 4))

@@ -68,14 +68,25 @@ class OnePeaceDetector:
 
     def __init__(self, num_classes: int = 80, image_size: int = 1024,
                  fpn_channels: int = 256, with_masks: bool = True,
-                 **backbone_kw):
+                 proposer: str = "fcos", **backbone_kw):
         backbone_kw.setdefault("bucket_size", image_size // 16)
         self.backbone = DetBackbone(**backbone_kw)
         self.fpn = SimpleFeaturePyramid(in_dim=self.backbone.d,
                                         out_channels=fpn_channels)
-        self.proposer = FCOSHead(in_channels=fpn_channels,
-                                 num_classes=num_classes,
-                                 strides=self.STRIDES)
+        if proposer == "fcos":
+            self.proposer = FCOSHead(in_channels=fpn_channels,
+                                     num_classes=num_classes,
+                                     strides=self.STRIDES)
+        elif proposer == "rpn":
+            from .rpn import RPNHead
+
+            # the reference recipe's proposer (detectron2 RPN, ref
+            # det/configs/onepeace/cascade_mask_rcnn_vitdet_50ep.py)
+            self.proposer = RPNHead(in_channels=fpn_channels,
+                                    strides=self.STRIDES)
+        else:
+            raise ValueError(f"unknown proposer {proposer!r}")
+        self.proposer_kind = proposer
         self.box_head = CascadeBoxHead(in_channels=fpn_channels,
                                        num_classes=num_classes)
         self.mask_head = (MaskHead(in_channels=fpn_channels,
@@ -119,36 +130,69 @@ class OnePeaceDetector:
     def detect(self, params, images: jnp.ndarray,
                score_thresh: float = 0.05, max_proposals: int = 512,
                max_dets: int = 100) -> List[Dict[str, np.ndarray]]:
-        """Full inference: jitted trunk/neck/heads + host NMS decode."""
+        """Full inference: jitted trunk/neck/heads + host NMS decode.
+
+        The cascade/mask heads run as ONE fixed-shape jitted call over
+        proposals zero-padded to ``max_proposals`` per image (variable
+        per-image counts would dispatch the head op-by-op — a remote
+        round-trip per op on the axon tunnel — and retrace per count)."""
         if self._feat_fn is None:
             self._feat_fn = jax.jit(self.features)
+
+            def head_fn(prm, feat, boxes):  # boxes (B, P, 4)
+                b, p = boxes.shape[:2]
+                bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+                return self.box_head(prm, feat, boxes.reshape(-1, 4), bidx)
+
+            self._head_fn = jax.jit(head_fn)
+            if self.mask_head is not None:
+                def mask_fn(prm, feat, boxes):
+                    b, p = boxes.shape[:2]
+                    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+                    return self.mask_head(prm, feat, boxes.reshape(-1, 4),
+                                          bidx)
+
+                self._mask_fn = jax.jit(mask_fn)
         pyr, outs = self._feat_fn(params, images)
         props = self.proposer.decode(outs, score_thresh=score_thresh,
                                      max_dets=max_proposals)
-        results = []
+        bsz = int(images.shape[0])
+        boxes_pad = np.zeros((bsz, max_proposals, 4), np.float32)
+        nprops = np.zeros((bsz,), np.int64)
         for b, p in enumerate(props):
-            n = len(p["boxes"])
+            n = min(len(p["boxes"]), max_proposals)
+            boxes_pad[b, :n] = p["boxes"][:n]
+            nprops[b] = n
+        scores, refined = self._head_fn(params["box_head"], pyr["p16"],
+                                        jnp.asarray(boxes_pad))
+        scores = np.asarray(scores, np.float32).reshape(bsz, max_proposals, -1)
+        refined = np.asarray(refined, np.float32).reshape(bsz, max_proposals, 4)
+
+        results = []
+        for b in range(bsz):
+            n = int(nprops[b])
             if n == 0:
                 results.append({"boxes": np.zeros((0, 4), np.float32),
                                 "scores": np.zeros((0,), np.float32),
                                 "labels": np.zeros((0,), np.int64)})
                 continue
-            boxes = jnp.asarray(p["boxes"])
-            bidx = jnp.full((n,), b, jnp.int32)
-            scores, refined = self.box_head(
-                params["box_head"], pyr["p16"], boxes, bidx)
-            dets = self.box_head.decode(scores, refined,
-                                        score_thresh=score_thresh,
-                                        max_dets=max_dets)
-            if self.mask_head is not None and len(dets["boxes"]):
-                db = jnp.asarray(dets["boxes"])
-                di = jnp.full((len(dets["boxes"]),), b, jnp.int32)
-                ml = np.asarray(self.mask_head(
-                    params["mask_head"], pyr["p16"], db, di), np.float32)
-                sel = ml[np.arange(len(dets["labels"])), :, :,
-                         np.asarray(dets["labels"])]
-                dets["masks"] = 1.0 / (1.0 + np.exp(-sel))
-            results.append(dets)
+            results.append(self.box_head.decode(
+                scores[b, :n], refined[b, :n],
+                score_thresh=score_thresh, max_dets=max_dets))
+
+        if self.mask_head is not None and any(len(r["boxes"]) for r in results):
+            dboxes = np.zeros((bsz, max_dets, 4), np.float32)
+            for b, r in enumerate(results):
+                dboxes[b, : len(r["boxes"])] = r["boxes"]
+            ml = np.asarray(self._mask_fn(params["mask_head"], pyr["p16"],
+                                          jnp.asarray(dboxes)), np.float32)
+            ml = ml.reshape((bsz, max_dets) + ml.shape[1:])
+            for b, r in enumerate(results):
+                nd = len(r["boxes"])
+                if nd:
+                    sel = ml[b, np.arange(nd), :, :,
+                             np.asarray(r["labels"], np.int64)]
+                    r["masks"] = 1.0 / (1.0 + np.exp(-sel))
         return results
 
 
