@@ -48,8 +48,18 @@ class AudioAdapter:
         self.attention_heads = attention_heads
         self.num_rel_tables = num_rel_tables if num_rel_tables is not None else 1
         self.num_rel_dis = 2 * cfg.bucket_size - 1 + 3 if cfg.use_attn_bias else 0
+        self.fbank = None
+        if getattr(cfg, "frontend", "waveform") == "fbank":
+            from ...ops.preprocess import LogMelFbank
+
+            self.fbank = LogMelFbank(n_fft=cfg.fbank_n_fft, hop=cfg.fbank_hop,
+                                     n_mels=cfg.fbank_n_mels)
+        # fbank frames run ~1500 for 15 s at a 10 ms hop; size the bucket
+        # table to cover them (waveform conv frames stay <= 1024)
+        max_pos = 1024 if self.fbank is None else 2048
         if cfg.use_attn_bias:
-            self.rp_bucket = make_token_bucket_position_with_cls(cfg.bucket_size, 1024)
+            self.rp_bucket = make_token_bucket_position_with_cls(
+                cfg.bucket_size, max_pos)
         else:
             self.rp_bucket = None
         # conv positional embedding: depth 5, k = max(3, width // depth) = 19
@@ -67,7 +77,13 @@ class AudioAdapter:
         # no conv frontend (feature_encoder_spec empty, ref
         # pretrain_al_3B.yaml decoder.audio_adapter) — it only ever runs
         # the preserve_embed scatter path.
-        if cfg.feature_encoder_spec:
+        if self.fbank is not None:
+            params["fbank_ln"] = {
+                "scale": jnp.ones((cfg.fbank_n_mels,), dtype),
+                "bias": jnp.zeros((cfg.fbank_n_mels,), dtype)}
+            params["fbank_proj"] = init_linear(keys[8], cfg.fbank_n_mels, d,
+                                               dtype=dtype)
+        elif cfg.feature_encoder_spec:
             feat = []
             in_ch = 1
             for i, (out_ch, k, _s) in enumerate(cfg.feature_encoder_spec):
@@ -119,10 +135,23 @@ class AudioAdapter:
         params["mask_embedding"] = trunc_normal(keys[15], (1, d), dtype=dtype)
         return params
 
+    def output_length(self, length: int) -> int:
+        """Waveform samples -> frontend frames (drives the padding mask)."""
+        if self.fbank is not None:
+            return self.fbank.num_frames(length)
+        return conv_output_length(length, self.cfg.feature_encoder_spec)
+
     def extract_features(self, params, src_audios: jnp.ndarray) -> jnp.ndarray:
         """(B, T) raw waveform -> (B, T', embed_dim)."""
         cfg = self.cfg
         dtype = params["cls_embedding"].dtype
+        if self.fbank is not None:
+            feats = self.fbank(src_audios.astype(jnp.float32))
+            x = layer_norm(params["fbank_ln"], feats)
+            x = linear(params["fbank_proj"], x).astype(dtype)
+            if cfg.freeze_extractor:
+                x = jax.lax.stop_gradient(x)
+            return x
         x = src_audios.astype(dtype)[..., None]  # (B, T, 1) NWC
         for block, (_, k, s) in zip(params["feature_extractor"], cfg.feature_encoder_spec):
             x = conv1d(block["conv"], x, stride=s)

@@ -132,6 +132,56 @@ def _shard_map_flash(q, k, v, rel_bias, key_padding_mask, scaling):
                          check_vma=False)(*args)
 
 
+def _shard_map_ring(q, k, v, rel_bias, key_padding_mask, scaling):
+    """Sequence-sharded exact attention over the mesh's ``sp`` axis
+    (ops/ring_attention.py); returns None when no sp axis is active or
+    the shapes do not divide it (caller falls back)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .ring_attention import ring_attention
+
+    mesh = _FLASH_MESH
+    if mesh is None or "sp" not in mesh.axis_names:
+        return None
+    nsp = mesh.shape["sp"]
+    if nsp == 1 or q.shape[1] % nsp or q.shape[1] != k.shape[1]:
+        return None
+    if rel_bias is not None and rel_bias.ndim != 3:
+        return None  # batch-dependent bias tiles are not ring-sliced
+    names = set(mesh.axis_names)
+    if "pp" in names and mesh.shape["pp"] > 1:
+        return None  # the pipeline path wraps its own shard_map over pp
+    data = tuple(a for a in ("dp", "fsdp") if a in names)
+    ndata = 1
+    for a in data:
+        ndata *= mesh.shape[a]
+    ntp = mesh.shape["tp"] if "tp" in names else 1
+    if q.shape[0] % max(ndata, 1) or q.shape[2] % max(ntp, 1):
+        return None
+
+    # full-manual over (dp, fsdp, tp, sp): batch over the data axes, heads
+    # (and the per-head bias) over tp, sequence around the sp ring
+    qkv_spec = P(data or None, "sp", "tp" if ntp > 1 else None, None)
+    bias_spec = P("tp" if ntp > 1 else None, None, None)
+    in_specs = [qkv_spec, qkv_spec, qkv_spec,
+                bias_spec if rel_bias is not None else P(),
+                P(data or None, None) if key_padding_mask is not None else P()]
+
+    def local_fn(q_, k_, v_, bias_, mask_):
+        return ring_attention(q_, k_, v_,
+                              bias_ if rel_bias is not None else None,
+                              mask_ if key_padding_mask is not None else None,
+                              scaling, axis="sp")
+
+    zero = jnp.zeros((), q.dtype)
+    return jax.shard_map(
+        local_fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=qkv_spec,
+        check_vma=False)(
+        q, k, v,
+        rel_bias if rel_bias is not None else zero,
+        key_padding_mask if key_padding_mask is not None else zero)
+
+
 def multihead_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -148,8 +198,14 @@ def multihead_attention(
       rel_bias: (H, L, L) or (B, H, L, L) additive bias, or None
       key_padding_mask: (B, L) bool, True at padding positions, or None
       scaling: query scale (head_dim ** -0.5)
-      impl: 'pallas' (fused kernel where supported, XLA otherwise) | 'xla'
+      impl: 'pallas' (fused kernel where supported, XLA otherwise) |
+        'ring' (sequence-sharded over the mesh 'sp' axis, XLA fallback) |
+        'xla'
     """
+    if impl == "ring":
+        out = _shard_map_ring(q, k, v, rel_bias, key_padding_mask, scaling)
+        if out is not None:
+            return out
     if impl == "pallas":
         mode = _flash_mode()
         if mode == "direct":
@@ -169,6 +225,14 @@ def multihead_attention(
     bias = _combine_bias(rel_bias, key_padding_mask, b, h, lq, lk)
     if bias is not None:
         logits = logits + bias
-    # fp32 softmax (ref uses utils.softmax in fp32: multihead_attention.py:112)
-    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    # fp32 softmax (ref uses utils.softmax in fp32: multihead_attention.py:112);
+    # ONE_PEACE_SOFTMAX=bf16 opts into bf16 exp/normalize (max stays fp32)
+    from .flash_attention import _SOFTMAX_BF16
+
+    if _SOFTMAX_BF16:
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - mx).astype(jnp.bfloat16))
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q.dtype)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)

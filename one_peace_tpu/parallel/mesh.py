@@ -24,26 +24,30 @@ AXES = ("dp", "fsdp", "tp")
 
 
 def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1, pp: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh; dp=-1 absorbs remaining devices.
+              devices: Optional[Sequence] = None, sp: int = 1) -> Mesh:
+    """Build a (dp, fsdp, tp[, sp]) mesh; dp=-1 absorbs remaining devices.
 
     When pp > 1 a leading ``pp`` axis is prepended — pipeline stages sit
     outermost (cross-slice/DCN-friendly: stage hops are thin point-to-point
     activation transfers; the bandwidth-heavy fsdp/tp collectives stay
-    within a stage's inner axes on ICI)."""
+    within a stage's inner axes on ICI).  When sp > 1 a trailing ``sp``
+    axis is appended — sequence parallelism (ring attention) wants its
+    neighbor ``ppermute`` hops on the innermost (fastest-ICI) axis."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp == -1:
-        assert n % (pp * fsdp * tp) == 0, (n, pp, fsdp, tp)
-        dp = n // (pp * fsdp * tp)
-    assert dp * fsdp * tp * pp == n, \
-        f"mesh pp={pp} {dp}x{fsdp}x{tp} != {n} devices"
+        assert n % (pp * fsdp * tp * sp) == 0, (n, pp, fsdp, tp, sp)
+        dp = n // (pp * fsdp * tp * sp)
+    assert dp * fsdp * tp * pp * sp == n, \
+        f"mesh pp={pp} {dp}x{fsdp}x{tp} sp={sp} != {n} devices"
+    axes = AXES + (("sp",) if sp > 1 else ())
+    shape = (dp, fsdp, tp) + ((sp,) if sp > 1 else ())
     if pp > 1:
-        arr = np.asarray(devices).reshape(pp, dp, fsdp, tp)
-        return Mesh(arr, ("pp",) + AXES)
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, AXES)
+        arr = np.asarray(devices).reshape((pp,) + shape)
+        return Mesh(arr, ("pp",) + axes)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)
 
 
 def local_batch_axes() -> tuple:

@@ -53,11 +53,24 @@ class JitEvaluator:
         self.model = model
         self._fns: Dict[Any, Any] = {}
         self.audio_bucket = audio_bucket  # waveform bucket quantum (1 s)
-        # audio bucketing needs the conv-length arithmetic; best-effort
+        # audio bucketing needs the frontend length arithmetic; best-effort
         # discovery from the model config (absent -> batch-dim only)
         enc = getattr(getattr(model, "cfg", None), "encoder", None)
-        self._audio_spec = getattr(
-            getattr(enc, "audio_adapter", None), "feature_encoder_spec", None)
+        ad = getattr(enc, "audio_adapter", None)
+        self._audio_spec = getattr(ad, "feature_encoder_spec", None)
+        self._audio_out_len = None
+        if self._audio_spec is not None:
+            if getattr(ad, "frontend", "waveform") == "fbank":
+                from ..ops.preprocess import LogMelFbank
+
+                self._audio_out_len = LogMelFbank(
+                    n_fft=ad.fbank_n_fft, hop=ad.fbank_hop,
+                    n_mels=ad.fbank_n_mels).num_frames
+            else:
+                from ..models.adapters.audio import conv_output_length
+
+                spec = self._audio_spec
+                self._audio_out_len = lambda n: conv_output_length(n, spec)
 
     @property
     def n_compiles(self) -> int:
@@ -68,15 +81,21 @@ class JitEvaluator:
         n = next(iter(arrays.values())).shape[0]
         nb = _batch_bucket(n)
         mask_len = None
-        if "src_audios" in arrays and self._audio_spec is not None:
-            from ..models.adapters.audio import conv_output_length
-
+        if "src_audios" in arrays and self._audio_out_len is not None:
             t = arrays["src_audios"].shape[1]
             q = self.audio_bucket
             tb = max(-(-t // q) * q, q)  # next whole bucket
             arrays["src_audios"] = np.pad(
                 arrays["src_audios"], [(0, 0), (0, tb - t)])
-            mask_len = conv_output_length(tb, self._audio_spec) + 1
+            mask_len = self._audio_out_len(tb) + 1
+            if "audio_padding_masks" not in arrays:
+                # the bucket tail is silence the model must not attend to;
+                # synthesize the mask (CLS + real conv frames False, padded
+                # tail True) instead of leaving it unmasked
+                real = self._audio_out_len(t) + 1
+                mask = np.zeros((n, mask_len), bool)
+                mask[:, real:] = True
+                arrays["audio_padding_masks"] = mask
         padded = {}
         for k, v in arrays.items():
             pad = [(0, nb - v.shape[0])] + [(0, 0)] * (v.ndim - 1)

@@ -30,3 +30,39 @@ def test_matches_full_attention(with_bias, with_mask):
     out = ring_attention_sharded(mesh, q, k, v, bias, mask, scaling, axis="tp")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attn_impl_through_encoder():
+    """model.encoder.attn_impl='ring' routes the real encoder's attention
+    through the sequence-sharded ring path (mesh sp axis) and matches the
+    XLA implementation exactly."""
+    import sys
+    sys.path.insert(0, "tests")
+    from helpers import tiny_model_config
+
+    import jax
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.ops import attention as A
+    from one_peace_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_model_config(head_type="val")
+    cfg.encoder.attn_impl = "xla"
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # 7 tokens + CLS = 8 positions; batch 2 over dp=2, ring over sp=4
+    tokens = jnp.asarray(np.random.RandomState(0).randint(5, 90, (2, 7)))
+    ref = np.asarray(model(params, src_tokens=tokens, encoder_type="text"))
+
+    mesh = make_mesh(dp=2, fsdp=1, tp=1, sp=4, devices=jax.devices()[:8])
+    A.set_flash_mesh(mesh)
+    try:
+        cfg.encoder.attn_impl = "ring"
+        out = np.asarray(model(params, src_tokens=tokens, encoder_type="text"))
+        # the ring path must actually engage for these shapes
+        q = jnp.zeros((2, 8, 4, 8), jnp.float32)
+        engaged = A._shard_map_ring(q, q, q, None, None, 1.0)
+        assert engaged is not None
+    finally:
+        A.set_flash_mesh(None)
+        cfg.encoder.attn_impl = "xla"
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
