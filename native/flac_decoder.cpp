@@ -91,6 +91,11 @@ void decode_residuals(BitReader& br, int order, int block_size,
     int idx = order;
     for (int p = 0; p < partitions; ++p) {
         int count = (block_size >> partition_order) - (p == 0 ? order : 0);
+        // a malformed partition_order can make the p==0 partition smaller
+        // than the warmup while later partitions still carry full counts —
+        // the write index must never pass the block (heap overflow
+        // otherwise)
+        if (count > 0 && idx + count > block_size) { br.error = true; return; }
         int param = (int)br.read_bits(param_bits);
         if (param == escape) {
             int raw_bits = (int)br.read_bits(5);
@@ -108,12 +113,23 @@ void decode_residuals(BitReader& br, int order, int block_size,
     }
 }
 
+// wrapping 64-bit ops: corrupt streams feed arbitrary values into the
+// predictors; signed overflow is UB, unsigned wraparound is defined (the
+// decoded samples are garbage either way and rejected downstream)
+static inline int64_t wadd(int64_t a, int64_t b) {
+    return (int64_t)((uint64_t)a + (uint64_t)b);
+}
+static inline int64_t wmul(int64_t a, int64_t b) {
+    return (int64_t)((uint64_t)a * (uint64_t)b);
+}
+
 bool decode_subframe(BitReader& br, int block_size, int bps,
                      std::vector<int64_t>& out) {
     br.read_bit();  // zero pad bit
     int type = (int)br.read_bits(6);
     int wasted = 0;
     if (br.read_bit()) wasted = 1 + (int)br.read_unary();
+    if (wasted >= 64 || wasted > bps) { br.error = true; return false; }
     bps -= wasted;
     out.assign(block_size, 0);
 
@@ -124,45 +140,55 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
         for (int i = 0; i < block_size; ++i) out[i] = br.read_signed(bps);
     } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
         int order = type - 8;
+        if (order > block_size) { br.error = true; return false; }
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
         decode_residuals(br, order, block_size, out);
         switch (order) {
             case 0: break;
             case 1:
-                for (int i = 1; i < block_size; ++i) out[i] += out[i - 1];
+                for (int i = 1; i < block_size; ++i)
+                    out[i] = wadd(out[i], out[i - 1]);
                 break;
             case 2:
                 for (int i = 2; i < block_size; ++i)
-                    out[i] += 2 * out[i - 1] - out[i - 2];
+                    out[i] = wadd(out[i], wadd(wmul(2, out[i - 1]),
+                                               wmul(-1, out[i - 2])));
                 break;
             case 3:
                 for (int i = 3; i < block_size; ++i)
-                    out[i] += 3 * out[i - 1] - 3 * out[i - 2] + out[i - 3];
+                    out[i] = wadd(out[i], wadd(wmul(3, out[i - 1]),
+                             wadd(wmul(-3, out[i - 2]), out[i - 3])));
                 break;
             case 4:
                 for (int i = 4; i < block_size; ++i)
-                    out[i] += 4 * out[i - 1] - 6 * out[i - 2] + 4 * out[i - 3]
-                              - out[i - 4];
+                    out[i] = wadd(out[i], wadd(wmul(4, out[i - 1]),
+                             wadd(wmul(-6, out[i - 2]),
+                             wadd(wmul(4, out[i - 3]),
+                                  wmul(-1, out[i - 4])))));
                 break;
         }
     } else if (type >= 32) {  // LPC, order 1..32
         int order = type - 31;
+        if (order > block_size) { br.error = true; return false; }
         for (int i = 0; i < order; ++i) out[i] = br.read_signed(bps);
         int precision = (int)br.read_bits(4) + 1;
         int shift = (int)br.read_signed(5);
+        if (shift < 0) { br.error = true; return false; }  // spec: >= 0
         std::vector<int64_t> coefs(order);
         for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(precision);
         decode_residuals(br, order, block_size, out);
         for (int i = order; i < block_size; ++i) {
             int64_t pred = 0;
-            for (int j = 0; j < order; ++j) pred += coefs[j] * out[i - 1 - j];
-            out[i] += pred >> shift;
+            for (int j = 0; j < order; ++j)
+                pred = wadd(pred, wmul(coefs[j], out[i - 1 - j]));
+            out[i] = wadd(out[i], pred >> shift);
         }
     } else {
         br.error = true;
     }
     if (wasted)
-        for (int i = 0; i < block_size; ++i) out[i] <<= wasted;
+        for (int i = 0; i < block_size; ++i)
+            out[i] = (int64_t)((uint64_t)out[i] << wasted);
     return !br.error;
 }
 
@@ -203,10 +229,16 @@ int flacdec_decode(const uint8_t* data, size_t size, float** out_samples,
         }
         pos += len;
     }
-    if (sample_rate == 0 || channels == 0) return -3;
+    if (sample_rate == 0 || channels == 0 || bps == 0) return -3;
 
+    // hard output cap: a malicious stream can encode huge blocks in a few
+    // bytes (CONSTANT subframes); never allocate unbounded memory from
+    // attacker-controlled counts (1h of 16 kHz audio ~ 230 MB floats)
+    const uint64_t kMaxSamples = 1ull << 26;  // ~67M samples
     std::vector<float> mono;
-    if (total_samples) mono.reserve((size_t)total_samples);
+    if (total_samples)
+        mono.reserve((size_t)(total_samples < kMaxSamples ? total_samples
+                                                          : kMaxSamples));
 
     BitReader br(data, size);
     br.byte_pos = pos;
@@ -255,6 +287,10 @@ int flacdec_decode(const uint8_t* data, size_t size, float** out_samples,
         else if (ch_code == 9) { nch = 2; mode = 2; }
         else if (ch_code == 10) { nch = 2; mode = 3; }
         else return -6;
+        // the frame header must not claim more channels than STREAMINFO
+        // allocated (ch[] is sized from STREAMINFO; trusting the frame
+        // header here would index past it)
+        if (nch > channels) return -6;
 
         for (int c = 0; c < nch; ++c) {
             int sub_bps = frame_bps;
@@ -268,15 +304,18 @@ int flacdec_decode(const uint8_t* data, size_t size, float** out_samples,
 
         // stereo decorrelation
         if (mode == 1) {  // left-side: ch0 = L, ch1 = L - R
-            for (int i = 0; i < block_size; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+            for (int i = 0; i < block_size; ++i)
+                ch[1][i] = wadd(ch[0][i], wmul(-1, ch[1][i]));
         } else if (mode == 2) {  // right-side: ch0 = L - R, ch1 = R
-            for (int i = 0; i < block_size; ++i) ch[0][i] = ch[0][i] + ch[1][i];
+            for (int i = 0; i < block_size; ++i)
+                ch[0][i] = wadd(ch[0][i], ch[1][i]);
         } else if (mode == 3) {  // mid-side
             for (int i = 0; i < block_size; ++i) {
                 int64_t side = ch[1][i];
-                int64_t mid = (ch[0][i] << 1) | (side & 1);
-                ch[0][i] = (mid + side) >> 1;
-                ch[1][i] = (mid - side) >> 1;
+                int64_t mid = (int64_t)(((uint64_t)ch[0][i] << 1)
+                                        | ((uint64_t)side & 1));
+                ch[0][i] = wadd(mid, side) >> 1;
+                ch[1][i] = wadd(mid, wmul(-1, side)) >> 1;
             }
         }
 
@@ -287,6 +326,7 @@ int flacdec_decode(const uint8_t* data, size_t size, float** out_samples,
             mono.push_back(acc / nch * scale);
         }
         if (total_samples && mono.size() >= total_samples) break;
+        if (mono.size() >= kMaxSamples) return -9;
     }
 
     if (total_samples && mono.size() > total_samples) mono.resize(total_samples);
