@@ -52,6 +52,12 @@ _HPACK = int(os.environ.get("ONE_PEACE_ATTN_HPACK", "0"))
 # shard_map multi-device path; flip BEFORE the first trace).
 INTERPRET = bool(int(os.environ.get("ONE_PEACE_PALLAS_INTERPRET", "0")))
 
+# Opt-in bf16 softmax (ONE_PEACE_SOFTMAX=bf16): exp/normalize run in bf16
+# on the VPU instead of fp32.  Trades parity-exact numerics for VPU
+# throughput; the max subtraction stays fp32 so it is still safe.  The
+# parity default is fp32 (ref softmax is fp32: multihead_attention.py:112).
+_SOFTMAX_BF16 = os.environ.get("ONE_PEACE_SOFTMAX", "fp32") == "bf16"
+
 
 def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
                        bias_block_bytes: int = 0) -> int:
@@ -139,8 +145,12 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
                 s = s + bias_i.astype(jnp.float32)
             s = s + row  # (1, Lk) broadcasts over query rows
             mx = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - mx)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            if _SOFTMAX_BF16:
+                e = jnp.exp((s - mx).astype(jnp.bfloat16))
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            else:
+                e = jnp.exp(s - mx)
+                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
             outs.append(jax.lax.dot_general(
                 p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))

@@ -156,3 +156,30 @@ def test_shard_map_indivisible_falls_back(monkeypatch):
     ref = multihead_attention(q, k, v, None, None, scaling, impl="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_softmax_optin_close_to_fp32():
+    """ONE_PEACE_SOFTMAX=bf16 (here: the module flag) must stay within
+    bf16 rounding of the fp32 softmax on the XLA path — it is a measured
+    serving option, not a different function."""
+    import numpy as np
+
+    from one_peace_tpu.ops import attention as A
+    from one_peace_tpu.ops import flash_attention as fa
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(2, 24, 4, 16), jnp.float32)
+    k = jnp.asarray(rs.randn(2, 24, 4, 16), jnp.float32)
+    v = jnp.asarray(rs.randn(2, 24, 4, 16), jnp.float32)
+    bias = jnp.asarray(rs.randn(4, 24, 24), jnp.float32)
+    ref = np.asarray(A.multihead_attention(q, k, v, bias, None, 0.25,
+                                           impl="xla"))
+    saved = fa._SOFTMAX_BF16
+    fa._SOFTMAX_BF16 = True
+    try:
+        out = np.asarray(A.multihead_attention(q, k, v, bias, None, 0.25,
+                                               impl="xla"))
+    finally:
+        fa._SOFTMAX_BF16 = saved
+    assert np.abs(out - ref).max() < 0.05  # bf16 rounding, not divergence
+    assert np.abs(out - ref).max() > 0  # and the knob actually engaged
