@@ -6,11 +6,14 @@ fairseq ``dict.txt`` index space (4 special symbols prepended: <s>=0,
 <pad>=1, </s>=2, <unk>=3, then dict.txt rows in order), truncated to 70,
 ``</s>`` appended.  Any index drift here corrupts every text embedding.
 
-The BPE implementation is the standard byte-level BPE algorithm over the
-stock GPT-2 assets (``encoder.json`` + ``vocab.bpe``).  Asset files are not
-vendored; point ``bpe_dir`` at a directory holding ``encoder.json``,
-``vocab.bpe`` and ``dict.txt`` (the reference ships them in
-one_peace/utils/BPE/).
+The BPE implementation is the canonical OpenAI GPT-2 byte-level BPE
+algorithm (github.com/openai/gpt-2 ``src/encoder.py``, MIT license; the
+reference vendors the same algorithm via fairseq) over the stock GPT-2
+assets (``encoder.json`` + ``vocab.bpe``) — it must match that
+implementation bit-for-bit or every text embedding drifts.  Asset files
+are not vendored; point ``bpe_dir`` at a directory holding
+``encoder.json``, ``vocab.bpe`` and ``dict.txt`` (the reference ships
+them in one_peace/utils/BPE/).
 """
 
 from __future__ import annotations

@@ -24,9 +24,12 @@ logits).  This kernel never materializes either:
 - **online softmax** over k-tiles (flash-style): the (blk_q, L) logits
   row never exists; stats + fp32 accumulator live in VMEM scratch.
 
-Forward only: the backward falls back to the XLA einsum vjp (exact,
-materializing) — global-layer training at 1024 px fits with remat, and
-the kernel's raison d'être is high-resolution inference + fwd memory.
+Backward: a Pallas two-pass backward (``_det_flash_bwd``, default) —
+saved-LSE recompute, dkv pass then dq pass with in-VMEM accumulation —
+makes 1024 px det *training* fit on one chip where the materializing XLA
+vjp cannot even compile (fwd+bwd 46.3 ms vs 124.7 XLA at 64x64; see
+CLAUDE.md).  ``ONE_PEACE_DET_BWD=xla`` forces the XLA einsum vjp
+fallback (exact, materializing) for debugging at small grids.
 
 Grid is (B, heads/m, q-tiles, k-tiles) with the k loop innermost; the
 k/v/bias fetches double-buffer against the matmuls.  m packs heads so the
