@@ -63,7 +63,9 @@ def decay_mask(params) -> Any:
     def mask_leaf(kp, leaf):
         path = _path_str(kp)
         ndim = np.ndim(leaf)
-        if "layers/" in path or path.startswith("layers"):
+        if "win_layers/" in path:
+            ndim -= 2  # stacked (groups, windowed-per-group) leaf
+        elif "layers/" in path or path.startswith("layers"):
             ndim -= 1  # stacked per-layer leaf
         if ndim <= 1:
             return False
@@ -78,7 +80,17 @@ def decay_mask(params) -> Any:
 
 def layer_id_for_path(path: str, num_layers: int) -> Optional[int]:
     """ref utils/layer_decay.py:8-21 (get_num_layer).  Returns None for
-    the stacked encoder-layer subtree (handled per-slice)."""
+    the stacked encoder-layer subtree (handled per-slice).
+
+    Also understands the vision-transfer zoo trees (vision/zoo.py), mapping
+    them the way the reference apps do:
+    - det (ref det/models/onepeace.py:632-653 get_onepeace_lr_decay_rate):
+      ``backbone/image_adapter`` -> 0, trunk layers -> i+1, everything
+      else (fpn/proposer/heads/shared rel table) -> L+1;
+    - seg (ref seg/optimizer/onepeace_layer_decay_optimizer_constructor.py
+      :9-29 get_layer_id_for_vit): ``backbone/image_adapter`` -> 0,
+      ``backbone/encoder/layers`` -> i+1, else -> L+1.
+    """
     p = re.sub(r"^encoder_wrapper/", "", path)
     if p.startswith(("text_adapter", "image_adapter", "audio_adapter")):
         if "rel_pos_table" in p:
@@ -86,6 +98,17 @@ def layer_id_for_path(path: str, num_layers: int) -> Optional[int]:
         return 0
     if p.startswith("fusion/layers") or "/fusion/layers" in path:
         return None  # stacked: vector of scales
+    if p.startswith("backbone/"):
+        q = p[len("backbone/"):]
+        if q.startswith("image_adapter"):
+            if "rel_pos_table" in q:
+                return None  # per-layer tables: scale per leading index
+            return 0
+        if q.startswith(("win_layers", "glob_layers")):
+            return None  # det trunk: stacked (groups[, nwin]) leaves
+        if q.startswith(("encoder/layers", "layers")):
+            return None  # seg/video trunk: stacked per-layer leaves
+        return num_layers + 1  # shared rel table, final norms, ...
     return num_layers + 1
 
 
@@ -100,9 +123,22 @@ def layer_decay_scales(params, num_layers: int, decay: float) -> Any:
         lid = layer_id_for_path(path, num_layers)
         if lid is not None:
             return jnp.asarray(values[lid], jnp.float32)
-        # stacked per-layer leaf or per-layer rel tables: leading axis = layer
+        if "win_layers/" in path:
+            # det trunk windowed stack: leading axes (groups, period-1);
+            # layer index of (g, j) is g*period + j (ref det/models/
+            # onepeace.py:646-647: .layers.<i>. -> i+1)
+            g, nw = np.shape(leaf)[:2]
+            period = num_layers // g
+            mat = jnp.asarray(
+                [[values[min(gi * period + j + 1, max_layer - 1)]
+                  for j in range(nw)] for gi in range(g)], jnp.float32)
+            return mat.reshape((g, nw) + (1,) * (np.ndim(leaf) - 2))
         n = np.shape(leaf)[0]
-        if "rel_pos_table" in path:
+        if "glob_layers/" in path:
+            # det trunk global stack: group g holds layer g*period+period-1
+            period = num_layers // n
+            ids = [min(gi * period + period, max_layer - 1) for gi in range(n)]
+        elif "rel_pos_table" in path:
             ids = [min(i + 1, max_layer - 1) if n > 1 else 1 for i in range(n)]
         else:
             ids = [i + 1 for i in range(n)]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.components import gelu, init_linear, linear
-from .roi_align import roi_align
+from .roi_align import multi_level_roi_align, roi_align
 
 # standard Faster R-CNN box-delta weights per cascade stage
 STAGE_DELTA_WEIGHTS = ((10.0, 10.0, 5.0, 5.0),
@@ -52,13 +52,26 @@ def apply_deltas(boxes: jnp.ndarray, deltas: jnp.ndarray,
 class CascadeBoxHead:
     def __init__(self, in_channels: int, num_classes: int, pooled_size: int = 7,
                  fc_dim: int = 1024, num_stages: int = 3,
-                 spatial_scale: float = 1 / 16):
+                 spatial_scale: float = 1 / 16,
+                 feature_strides: Sequence[int] = (4, 8, 16, 32)):
         self.cin = in_channels
         self.num_classes = num_classes
         self.pooled = pooled_size
         self.fc_dim = fc_dim
         self.num_stages = num_stages
         self.spatial_scale = spatial_scale
+        self.feature_strides = list(feature_strides)
+
+    def _pool(self, features, boxes, batch_indices):
+        """Single map (B, H, W, C) -> fixed-level RoIAlign; list/tuple of
+        per-stride maps -> detectron2 multi-level ROIPooler."""
+        if isinstance(features, (list, tuple)):
+            return multi_level_roi_align(
+                features, self.feature_strides, boxes, batch_indices,
+                output_size=self.pooled)
+        return roi_align(features, boxes, batch_indices,
+                         output_size=self.pooled,
+                         spatial_scale=self.spatial_scale)
 
     def init(self, key, dtype=jnp.float32):
         keys = jax.random.split(key, 4 * self.num_stages)
@@ -84,15 +97,15 @@ class CascadeBoxHead:
 
     def __call__(self, params, features: jnp.ndarray, proposals: jnp.ndarray,
                  batch_indices: jnp.ndarray):
-        """features (B, H, W, C) stride-16 map; proposals (N, 4) in input
-        pixels.  Returns (scores (N, num_classes+1) averaged over stages,
+        """features: either a single (B, H, W, C) map (pooled at
+        ``spatial_scale``) or a list/tuple of per-stride pyramid maps
+        (multi-level ROIPooler); proposals (N, 4) in input pixels.
+        Returns (scores (N, num_classes+1) averaged over stages,
         refined boxes (N, 4))."""
         boxes = proposals
         all_scores = []
         for s in range(self.num_stages):
-            pooled = roi_align(features, boxes, batch_indices,
-                               output_size=self.pooled,
-                               spatial_scale=self.spatial_scale)
+            pooled = self._pool(features, boxes, batch_indices)
             cls_logits, deltas = self._stage(params["stages"][s], pooled)
             all_scores.append(jax.nn.softmax(cls_logits.astype(jnp.float32), -1))
             boxes = apply_deltas(boxes, deltas.astype(jnp.float32),
@@ -198,9 +211,7 @@ def cascade_box_loss(head: "CascadeBoxHead", params, features, proposals,
         labels, matched, fg = assign_targets(
             boxes, gt_boxes, gt_labels, gt_valid,
             CASCADE_IOU_THRESHOLDS[min(s, 2)], head.num_classes)
-        pooled = roi_align(features, boxes, batch_indices,
-                           output_size=head.pooled,
-                           spatial_scale=head.spatial_scale)
+        pooled = head._pool(features, boxes, batch_indices)
         cls_logits, deltas = head._stage(params["stages"][s], pooled)
         lp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), -1)
         ce = -jnp.take_along_axis(lp, labels[:, None], axis=1)[:, 0]
@@ -227,12 +238,14 @@ class MaskHead:
     RoIAligned features (the reference's cascade *mask* R-CNN component)."""
 
     def __init__(self, in_channels: int, num_classes: int, channels: int = 256,
-                 pooled_size: int = 14, spatial_scale: float = 1 / 16):
+                 pooled_size: int = 14, spatial_scale: float = 1 / 16,
+                 feature_strides: Sequence[int] = (4, 8, 16, 32)):
         self.cin = in_channels
         self.num_classes = num_classes
         self.channels = channels
         self.pooled = pooled_size
         self.spatial_scale = spatial_scale
+        self.feature_strides = list(feature_strides)
 
     def init(self, key, dtype=jnp.float32):
         from ..models.components import init_conv2d
@@ -252,9 +265,14 @@ class MaskHead:
         """-> (N, 2*pooled, 2*pooled, num_classes) mask logits."""
         from ..models.components import conv2d
 
-        x = roi_align(features, boxes, batch_indices,
-                      output_size=self.pooled,
-                      spatial_scale=self.spatial_scale)
+        if isinstance(features, (list, tuple)):
+            x = multi_level_roi_align(
+                features, self.feature_strides, boxes, batch_indices,
+                output_size=self.pooled)
+        else:
+            x = roi_align(features, boxes, batch_indices,
+                          output_size=self.pooled,
+                          spatial_scale=self.spatial_scale)
         for c in params["convs"]:
             x = jax.nn.relu(conv2d(c, x, stride=1, padding="SAME"))
         # 2x transposed-conv upsample

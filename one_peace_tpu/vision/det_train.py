@@ -203,13 +203,14 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
 
     def per_image(feat, p, gtb, gtl, gtv):
         # gtv doubles as the proposal mask: proposals are jittered GTs,
-        # so invalid GT slots are degenerate boxes that must not train
+        # so invalid GT slots are degenerate boxes that must not train.
+        # feat is the per-image pyramid tuple -> multi-level ROIPooler.
         return cascade_box_loss(
-            box_head, box_params, feat[None], p,
+            box_head, box_params, jax.tree.map(lambda f: f[None], feat), p,
             jnp.zeros((m,), jnp.int32), gtb, gtl, gtv, prop_valid=gtv)
 
     closses, cmetrics = jax.vmap(per_image)(
-        pyr["p16"], props, gt_boxes, gt_labels, gt_valid)
+        tuple(feats), props, gt_boxes, gt_labels, gt_valid)
     loss_cascade = closses.mean()
     metrics.update({k: v.mean() for k, v in cmetrics.items()})
 
@@ -217,7 +218,7 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
     if gt_masks is not None and detector.mask_head is not None:
         labels_flat = gt_labels.reshape(-1)
         valid_flat = gt_valid.reshape(-1)
-        lm = mask_loss(detector.mask_head, params["mask_head"], pyr["p16"],
+        lm = mask_loss(detector.mask_head, params["mask_head"], tuple(feats),
                        props.reshape(-1, 4),
                        jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), m),
                        gt_masks.reshape((-1,) + gt_masks.shape[2:]),

@@ -49,14 +49,18 @@ def roi_align(
     # 4-tap bilinear over a batch-flattened feature map: one gather per
     # tap, never materializing a per-roi (H, W, C) copy (a vmap'd
     # features[b_idx] gather costs N full feature maps — gigabytes at
-    # detection scale).  Out-of-image taps contribute zero (detectron2
-    # zero-padding semantics), guarded explicitly because the flat index
-    # space spans the whole batch.
+    # detection scale).  Border handling follows detectron2's
+    # bilinear_interpolate exactly: samples beyond 1px outside the image
+    # contribute zero; samples within (-1, 0] clamp to the edge row/col
+    # (ROIAlign_cpu.cpp: `if (y <= 0) y = 0`), NOT zero-padded bilinear.
     b, h, w, c = features.shape
     n = rois.shape[0]
     flat = features.reshape(b * h * w, c)
     yy = ys[:, :, None]  # (N, S*r, 1) broadcasting rows
     xx = xs[:, None, :]  # (N, 1, S*r)
+    inside = ((yy > -1.0) & (yy < h) & (xx > -1.0) & (xx < w))
+    yy = jnp.clip(yy, 0.0, h - 1)
+    xx = jnp.clip(xx, 0.0, w - 1)
     y0f = jnp.floor(yy)
     x0f = jnp.floor(xx)
     base = batch_indices.astype(jnp.int32)[:, None, None] * (h * w)
@@ -66,9 +70,45 @@ def roi_align(
             yi = y0f + dy
             xi = x0f + dx
             wgt = ((1.0 - jnp.abs(yy - yi)) * (1.0 - jnp.abs(xx - xi)))
-            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-            wgt = jnp.where(valid, wgt, 0.0).astype(features.dtype)
+            wgt = jnp.where(inside, wgt, 0.0).astype(features.dtype)
             idx = base + (jnp.clip(yi, 0, h - 1).astype(jnp.int32) * w
                           + jnp.clip(xi, 0, w - 1).astype(jnp.int32))
             acc = acc + wgt[..., None] * flat[idx]
     return acc.reshape(n, s, r, s, r, c).mean(axis=(2, 4))
+
+
+def multi_level_roi_align(
+    features,
+    strides,
+    rois: jnp.ndarray,
+    batch_indices: jnp.ndarray,
+    output_size: int = 7,
+    sampling_ratio: int = 2,
+    canonical_box_size: float = 224.0,
+    canonical_level: int = 4,
+) -> jnp.ndarray:
+    """detectron2 ROIPooler over an FPN: each RoI pools from the level
+    matching its scale (poolers.py assign_boxes_to_levels:
+    ``floor(canonical_level + log2(sqrt(area)/canonical_box_size))``,
+    clamped to the available levels).
+
+    features: per-stride NHWC maps; strides: e.g. (4, 8, 16, 32).  Static
+    shape: every level pools every RoI (4 cheap gathers) and a one-hot
+    level mask selects the right one — no data-dependent partition.
+    """
+    import math
+
+    areas = (rois[:, 2] - rois[:, 0]) * (rois[:, 3] - rois[:, 1])
+    lvl = jnp.floor(
+        canonical_level
+        + jnp.log2(jnp.sqrt(jnp.maximum(areas, 0.0)) / canonical_box_size
+                   + 1e-8))
+    min_lvl = int(round(math.log2(strides[0])))
+    assign = jnp.clip(lvl - min_lvl, 0, len(strides) - 1).astype(jnp.int32)
+    out = None
+    for li, (f, s) in enumerate(zip(features, strides)):
+        pooled = roi_align(f, rois, batch_indices, output_size, 1.0 / s,
+                           sampling_ratio)
+        sel = (assign == li).astype(pooled.dtype)[:, None, None, None]
+        out = pooled * sel if out is None else out + pooled * sel
+    return out

@@ -35,6 +35,32 @@ def _resize(x, h, w):
     return jax.image.resize(x, (b, h, w, c), "bilinear")
 
 
+def _adaptive_pool_matrix(in_size: int, out_size: int):
+    """(out, in) row-stochastic matrix reproducing torch's
+    AdaptiveAvgPool2d bin rule: bin i averages rows
+    [floor(i*in/out), ceil((i+1)*in/out))."""
+    import numpy as np
+
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        a = (i * in_size) // out_size
+        b = -((-(i + 1) * in_size) // out_size)
+        m[i, a:b] = 1.0 / (b - a)
+    return m
+
+
+def adaptive_avg_pool(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """NHWC exact adaptive average pooling (torch AdaptiveAvgPool2d
+    semantics — mmseg's PPM uses it; plain bilinear resize is NOT
+    equivalent when the grid doesn't divide evenly)."""
+    h, w = x.shape[1:3]
+    ph = jnp.asarray(_adaptive_pool_matrix(h, out_h))
+    pw = jnp.asarray(_adaptive_pool_matrix(w, out_w))
+    y = jnp.einsum("ph,bhwc->bpwc", ph, x.astype(jnp.float32))
+    y = jnp.einsum("qw,bpwc->bpqc", pw, y)
+    return y.astype(x.dtype)
+
+
 class UperNetHead:
     def __init__(self, in_channels: Sequence[int], channels: int = 512,
                  num_classes: int = 150, pool_scales=(1, 2, 3, 6)):
@@ -76,8 +102,7 @@ class UperNetHead:
         b, h, w, _ = deep.shape
         psp_outs = [deep]
         for scale, p in zip(self.pool_scales, params["psp"]):
-            pooled = jax.image.resize(deep, (b, scale, scale, deep.shape[-1]),
-                                      "linear")
+            pooled = adaptive_avg_pool(deep, scale, scale)
             psp_outs.append(_resize(_conv_gn_relu(p, pooled), h, w))
         top = _conv_gn_relu(params["psp_bottleneck"],
                             jnp.concatenate(psp_outs, axis=-1))

@@ -139,21 +139,24 @@ class OnePeaceDetector:
         if self._feat_fn is None:
             self._feat_fn = jax.jit(self.features)
 
-            def head_fn(prm, feat, boxes):  # boxes (B, P, 4)
+            def head_fn(prm, feats, boxes):  # boxes (B, P, 4)
                 b, p = boxes.shape[:2]
                 bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-                return self.box_head(prm, feat, boxes.reshape(-1, 4), bidx)
+                return self.box_head(prm, feats, boxes.reshape(-1, 4), bidx)
 
             self._head_fn = jax.jit(head_fn)
             if self.mask_head is not None:
-                def mask_fn(prm, feat, boxes):
+                def mask_fn(prm, feats, boxes):
                     b, p = boxes.shape[:2]
                     bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-                    return self.mask_head(prm, feat, boxes.reshape(-1, 4),
+                    return self.mask_head(prm, feats, boxes.reshape(-1, 4),
                                           bidx)
 
                 self._mask_fn = jax.jit(mask_fn)
         pyr, outs = self._feat_fn(params, images)
+        # multi-level ROIPooler input (detectron2 poolers.py: each RoI
+        # pools from the pyramid level matching its scale)
+        feats_t = tuple(pyr[k] for k in self.PYRAMID_KEYS)
         props = self.proposer.decode(outs, score_thresh=score_thresh,
                                      max_dets=max_proposals)
         bsz = int(images.shape[0])
@@ -163,7 +166,7 @@ class OnePeaceDetector:
             n = min(len(p["boxes"]), max_proposals)
             boxes_pad[b, :n] = p["boxes"][:n]
             nprops[b] = n
-        scores, refined = self._head_fn(params["box_head"], pyr["p16"],
+        scores, refined = self._head_fn(params["box_head"], feats_t,
                                         jnp.asarray(boxes_pad))
         scores = np.asarray(scores, np.float32).reshape(bsz, max_proposals, -1)
         refined = np.asarray(refined, np.float32).reshape(bsz, max_proposals, 4)
@@ -184,7 +187,7 @@ class OnePeaceDetector:
             dboxes = np.zeros((bsz, max_dets, 4), np.float32)
             for b, r in enumerate(results):
                 dboxes[b, : len(r["boxes"])] = r["boxes"]
-            ml = np.asarray(self._mask_fn(params["mask_head"], pyr["p16"],
+            ml = np.asarray(self._mask_fn(params["mask_head"], feats_t,
                                           jnp.asarray(dboxes)), np.float32)
             ml = ml.reshape((bsz, max_dets) + ml.shape[1:])
             for b, r in enumerate(results):
@@ -216,7 +219,21 @@ class OnePeaceSegmenter:
     def load_pretrained(self, sd, key=None, dtype=jnp.float32):
         """Image adapter + encoder layers from the checkpoint (with abs/rel
         position-table interpolation to the segmentation resolution);
-        spatial priors, interactions and the UperNet head stay fresh."""
+        spatial priors, interactions and the UperNet head stay fresh.
+
+        Only *pretrain* (one-peace.pt-style) checkpoints are supported: a
+        finetuned mmseg checkpoint carries SyncBatchNorm running stats for
+        the adapter/head, which have no mapping onto this backbone's
+        GroupNorm redesign — fail loudly instead of silently dropping them."""
+        bn_keys = [k for k in sd
+                   if "running_mean" in k or "running_var" in k
+                   or k.startswith(("decode_head.", "auxiliary_head."))]
+        if bn_keys:
+            raise ValueError(
+                "state dict looks like a finetuned mmseg seg checkpoint "
+                f"(found {bn_keys[:3]}...); its SyncBatchNorm statistics "
+                "have no GroupNorm equivalent in this TPU backbone — load "
+                "the multimodal pretrain checkpoint instead")
         from ..utils.checkpoint_convert import convert_wrapper, upgrade_state_dict
 
         params = self.init(key if key is not None else jax.random.PRNGKey(0),

@@ -9,9 +9,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU hard-aborts (F ... rendezvous.cc Termination timeout) when the
+    # 8 virtual-device threads don't all reach a collective within 40 s —
+    # on a 1-core CI host a heavy jitted step (e.g. detection training)
+    # can legitimately keep one device thread busy longer than that while
+    # the others wait.  Raise the warn/terminate timeouts; slow is fine,
+    # SIGABRT is not.
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

@@ -147,3 +147,21 @@ def test_seg_cross_entropy_trains():
     loss, grads = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     assert float(optax.global_norm(grads)) > 0
+
+
+def test_adaptive_avg_pool_torch_parity():
+    """mmseg's PPM pools with torch AdaptiveAvgPool2d; our matrix
+    formulation must match it exactly, including uneven bins (7->3)."""
+    import torch
+    import torch.nn.functional as F
+
+    from one_peace_tpu.vision.upernet import adaptive_avg_pool
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, 7, 11, 3).astype(np.float32)
+    for s in (1, 2, 3, 6):
+        ours = np.asarray(adaptive_avg_pool(jnp.asarray(x), s, s))
+        ref = (F.adaptive_avg_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2), s)
+            .permute(0, 2, 3, 1).numpy())
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)

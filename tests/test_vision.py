@@ -135,6 +135,22 @@ def test_roi_align():
                     output_size=2)
     np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-6)
 
+    # detectron2 border semantics (ROIAlign_cpu.cpp bilinear_interpolate):
+    # a sample within (-1, 0] clamps to the edge pixel with full weight
+    # (NOT zero-padded bilinear); samples beyond 1px outside read zero.
+    feat = jnp.asarray(
+        (np.arange(16, dtype=np.float32) + 5.0).reshape(1, 4, 4, 1))
+    # roi [-2,-2,2,2], 1 bin, 1 sample -> continuous coord (0,0) ->
+    # pixel coord (-0.5,-0.5) -> clamped to pixel (0,0) => exactly feat[0,0]
+    # (zero-padded bilinear would give 0.25 * feat[0,0])
+    out = roi_align(feat, jnp.asarray([[-2.0, -2.0, 2.0, 2.0]]),
+                    jnp.array([0]), output_size=1, sampling_ratio=1)
+    np.testing.assert_allclose(np.asarray(out)[0, 0, 0, 0], 5.0, atol=1e-6)
+    # fully outside: zero
+    out = roi_align(feat, jnp.asarray([[-10.0, -10.0, -6.0, -6.0]]),
+                    jnp.array([0]), output_size=1, sampling_ratio=1)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
 
 def test_cascade_rcnn_inference():
     """Backbone -> proposals -> cascade box refinement -> decode."""
@@ -240,3 +256,29 @@ def test_batched_nms_no_cross_class_suppression_negative_coords():
     # same class duplicates still collapse
     keep_same = batched_nms(boxes, scores, np.array([1, 1]))
     assert len(keep_same) == 1
+
+
+def test_multi_level_roi_align_assignment():
+    """detectron2 ROIPooler level rule: floor(4 + log2(sqrt(area)/224)),
+    clamped — 56px boxes pool p4, 224px p16, 448px+ p32."""
+    from one_peace_tpu.vision.roi_align import multi_level_roi_align
+
+    strides = (4, 8, 16, 32)
+    feats = [jnp.full((1, 512 // s, 512 // s, 2), float(i + 1))
+             for i, s in enumerate(strides)]
+    rois = jnp.asarray([
+        [0.0, 0.0, 56.0, 56.0],     # lvl 2 -> p4  (value 1)
+        [0.0, 0.0, 112.0, 112.0],   # lvl 3 -> p8  (value 2)
+        [0.0, 0.0, 224.0, 224.0],   # lvl 4 -> p16 (value 3)
+        [0.0, 0.0, 448.0, 448.0],   # lvl 5 -> p32 (value 4)
+    ])
+    out = multi_level_roi_align(feats, strides, rois,
+                                jnp.zeros((4,), jnp.int32), output_size=3)
+    got = np.asarray(out)[:, 1, 1, 0]  # center bin (borders may read 0-pad)
+    np.testing.assert_allclose(got, [1.0, 2.0, 3.0, 4.0], rtol=1e-6)
+
+    # clamping: with only two levels a 224px box (lvl 4) clamps to index 1
+    out2 = multi_level_roi_align(feats[:2], strides[:2], rois[:3],
+                                 jnp.zeros((3,), jnp.int32), output_size=3)
+    np.testing.assert_allclose(np.asarray(out2)[:, 1, 1, 0],
+                               [1.0, 2.0, 2.0], rtol=1e-6)

@@ -137,3 +137,74 @@ def test_video_classifier_build_load():
     logits = vid(params, jnp.asarray(rs.randn(2, 2, 3, 64, 64), jnp.float32))
     assert logits.shape == (2, 9)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vision_layer_decay_scales():
+    """Layer-decay path rules must map the zoo trees the way the reference
+    apps do (ref det/models/onepeace.py:632-653, seg/optimizer/
+    onepeace_layer_decay_optimizer_constructor.py:9-29): adapter -> id 0,
+    trunk layer i -> i+1, neck/heads -> L+1."""
+    from one_peace_tpu.optim.adamw import layer_decay_scales
+
+    decay = 0.9
+    L = LAYERS  # 4
+
+    def expect(layer_id):
+        return decay ** (L + 1 - layer_id)
+
+    det = OnePeaceDetector(
+        num_classes=5, image_size=64, fpn_channels=16,
+        embed_dim=D, ffn_embed_dim=F, heads=HEADS, layers=L,
+        pretrain_bucket_size=PRETRAIN_BUCKET, window_size=4, global_period=2,
+        checkpoint_activations=False)
+    params = det.init(jax.random.PRNGKey(0))
+    scales = layer_decay_scales(params, num_layers=L, decay=decay)
+    bk = scales["backbone"]
+    assert float(np.asarray(
+        bk["image_adapter"]["pos_embed"])) == np.float32(expect(0))
+    # windowed stack: (groups=2, nwin=1) -> layer ids 1 and 3
+    win = np.asarray(bk["win_layers"]["self_attn"]["q_proj"]["w"]).ravel()
+    np.testing.assert_allclose(win, [expect(1), expect(3)], rtol=1e-6)
+    # global stack: (groups=2,) -> layer ids 2 and 4
+    glob = np.asarray(bk["glob_layers"]["self_attn"]["q_proj"]["w"]).ravel()
+    np.testing.assert_allclose(glob, [expect(2), expect(4)], rtol=1e-6)
+    # neck + heads + shared rel table at L+1 -> scale 1.0
+    for leaf in (scales["fpn"]["scale_4.0"]["lateral"]["w"],
+                 scales["box_head"]["stages"][0]["cls"]["w"],
+                 bk["rel_pos_table"]):
+        assert float(np.asarray(leaf)) == 1.0
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    seg = OnePeaceSegmenter(cfg, num_classes=7, channels=16,
+                            conv_inplane=8, deform_num_heads=4,
+                            init_values=0.5)
+    sparams = seg.init(jax.random.PRNGKey(1))
+    sscales = layer_decay_scales(sparams, num_layers=cfg.layers, decay=decay)
+    Ls = cfg.layers
+    vec = np.asarray(sscales["backbone"]["encoder"]["layers"]["self_attn"]
+                     ["q_proj"]["w"]).ravel()
+    np.testing.assert_allclose(
+        vec, [decay ** (Ls + 1 - (i + 1)) for i in range(Ls)], rtol=1e-6)
+    assert float(np.asarray(
+        sscales["backbone"]["image_adapter"]["cls_embedding"])
+    ) == np.float32(decay ** (Ls + 1))
+    assert all(float(np.asarray(s)) == 1.0
+               for s in jax.tree.leaves(sscales["head"]))
+
+
+def test_segmenter_rejects_mmseg_checkpoint():
+    """A finetuned mmseg checkpoint (SyncBN stats / decode_head keys) has
+    no GN mapping — the loader must fail loudly, not silently drop keys."""
+    import pytest
+
+    cfg = tiny_encoder_config()
+    cfg.image_adapter.bucket_size = 4
+    cfg.image_adapter.rel_bucket_size = 4
+    seg = OnePeaceSegmenter(cfg, num_classes=7, channels=16,
+                            conv_inplane=8, deform_num_heads=4,
+                            init_values=0.5)
+    bad = {"backbone.spm.stem.1.running_mean": np.zeros((8,), np.float32)}
+    with pytest.raises(ValueError, match="mmseg"):
+        seg.load_pretrained(bad)
