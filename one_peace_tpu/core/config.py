@@ -229,6 +229,15 @@ class TaskConfig:
     window_size: int = 16
     global_period: int = 4
     proposer: str = "fcos"  # fcos | rpn
+    # segmentation decode head (ref's ADE20K recipe is mask2former:
+    # seg/configs/ade20k/mask2former_onepeace_adapter_g_896_40k_ade20k)
+    seg_head: str = "upernet"  # upernet | mask2former
+    num_queries: int = 100  # mask2former query slots (ref recipe: 200)
+    seg_max_instances: int = 32  # static per-crop GT class budget
+    seg_feat_channels: int = 256  # mask2former feat/out channels (ref: 1024)
+    seg_num_points: int = 2048  # point-sampled loss budget (ref: 12544)
+    seg_dec_layers: int = 9  # mask2former decoder depth (ref: 9)
+    seg_pixel_layers: int = 6  # mask2former pixel-decoder depth (ref: 6)
 
 
 @dataclass

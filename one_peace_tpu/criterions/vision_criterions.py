@@ -54,13 +54,58 @@ class DetectionCriterion:
 
 @CRITERIONS.register("segmentation_criterion")
 class SegmentationCriterion:
-    """CE over the stride-4 logit map, ignore_index-masked."""
+    """UperNet path: CE over the stride-4 logit map, ignore_index-masked.
+    Mask2Former path (model.is_mask2former): Hungarian-matched set losses
+    (cls CE + point-sampled mask BCE + dice, deep supervision) per the
+    reference's mmdet Mask2FormerHead training config — GT instance masks
+    are derived on device from the semantic label map (one binary mask
+    per class present in the crop, top-``seg_max_instances`` classes by
+    pixel count; >32 distinct classes in one crop is vanishingly rare)."""
 
     def __init__(self, cfg: CriterionConfig, ignore_index: int = 255):
         self.label_smoothing = cfg.label_smoothing
         self.ignore_index = ignore_index
 
+    def _mask2former(self, model, params, batch, rng, deterministic):
+        from ..vision.mask2former_loss import mask2former_loss
+
+        all_cls, all_masks = model.forward_sets(params, batch["src_images"])
+        target = batch["target"]  # (B, H, W)
+        c = all_cls.shape[-1] - 1
+        mh, mw = all_masks.shape[-2:]
+        stride = target.shape[-1] // mw
+        off = stride // 2
+        # stride-subsampled labels: the mask predictions live at stride 4,
+        # so the point losses sample the GT at the same raster (the torch
+        # stack samples full-res GT; the granularity difference is below
+        # the mask head's own resolution)
+        tgt = target[:, off::stride, off::stride][:, :mh, :mw]
+
+        kmax = min(getattr(model, "max_instances", 32),
+                   getattr(model, "num_queries", 100), c)
+
+        def per_image(t):
+            valid = (t != self.ignore_index) & (t < c)
+            safe = jnp.where(valid, t, c)
+            counts = jnp.bincount(safe.reshape(-1), length=c + 1)[:c]
+            vals, ids = jax.lax.top_k(counts, kmax)
+            masks = (t[None] == ids[:, None, None]).astype(jnp.float32)
+            return masks, ids.astype(jnp.int32), vals > 0
+
+        gt_masks, gt_labels, gt_valid = jax.vmap(per_image)(tgt)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        num_points = getattr(model, "num_points", 2048)
+        loss, metrics = mask2former_loss(
+            all_cls, all_masks, gt_masks, gt_labels, gt_valid, rng,
+            num_points=num_points)
+        metrics["loss"] = loss
+        return loss, metrics
+
     def __call__(self, model, params, batch, rng=None, deterministic=False):
+        if getattr(model, "is_mask2former", False):
+            return self._mask2former(model, params, batch, rng,
+                                     deterministic)
         logits = model.logits(params, batch["src_images"])  # (B, h, w, C)
         target = batch["target"]  # (B, H, W)
         stride = target.shape[-1] // logits.shape[-2]

@@ -140,8 +140,10 @@ class CocoDetectionTask(VisionTaskBase):
 
 @TASKS.register("ade20k_seg")
 class Ade20kSegTask(VisionTaskBase):
-    """UperNet + ViT-Adapter semantic segmentation (ref seg/ app:
-    upernet_onepeace_adapter_896 recipes on mmseg)."""
+    """ViT-Adapter semantic segmentation with a Mask2Former
+    (``task.seg_head=mask2former`` — the reference's headline recipe,
+    ref seg/configs/ade20k/mask2former_onepeace_adapter_g_896_40k
+    _ade20k_ss.py) or UperNet decode head (lighter alternative)."""
 
     criterion_name = "segmentation_criterion"
 
@@ -162,13 +164,25 @@ class Ade20kSegTask(VisionTaskBase):
             reduce_zero_label=c.reduce_zero_label)
 
     def build_model(self, cfg):
-        from ..vision.zoo import OnePeaceSegmenter
+        from ..vision.zoo import OnePeaceMask2FormerSegmenter, OnePeaceSegmenter
 
         enc_cfg = copy.deepcopy(cfg.model.encoder)
         t = cfg.task
         grid = t.image_size // 16
         enc_cfg.image_adapter.bucket_size = grid
         enc_cfg.image_adapter.rel_bucket_size = grid
+        if t.seg_head == "mask2former":
+            # the reference's headline recipe head (ref seg/configs/
+            # ade20k/mask2former_onepeace_adapter_g_896_40k_ade20k_ss.py)
+            model = OnePeaceMask2FormerSegmenter(
+                enc_cfg, num_classes=t.num_classes,
+                feat_channels=t.seg_feat_channels,
+                num_queries=t.num_queries, dec_layers=t.seg_dec_layers,
+                pixel_layers=t.seg_pixel_layers)
+            model.max_instances = t.seg_max_instances
+            model.num_points = t.seg_num_points
+            return model
+        assert t.seg_head == "upernet", t.seg_head
         return OnePeaceSegmenter(enc_cfg, num_classes=t.num_classes)
 
     def begin_valid_epoch(self, model, params):

@@ -8,8 +8,11 @@ backbone/neck/head modules by hand:
   Pyramid + FCOS proposer + 3-stage cascade box head + mask head
   (ref det/configs/onepeace/cascade_mask_rcnn_vitdet_50ep.py assembly:
   ViTDet-style single-scale trunk behind a cascade Mask R-CNN);
-- :class:`OnePeaceSegmenter` — ViT-Adapter backbone + UperNet head
-  (ref seg/configs/onepeace/upernet_onepeace_adapter_896_80k_*.py);
+- :class:`OnePeaceMask2FormerSegmenter` — ViT-Adapter backbone +
+  Mask2Former head, the reference's shipped ADE20K recipe (ref seg/
+  configs/ade20k/mask2former_onepeace_adapter_g_896_40k_ade20k_ss.py);
+  :class:`OnePeaceSegmenter` is the lighter UperNet variant on the same
+  backbone;
 - :class:`OnePeaceVideoClassifier` — AIM temporal-adapter backbone +
   mean-CLS recognizer head (ref video/configs/onepeace/*_k400.py).
 
@@ -200,7 +203,8 @@ class OnePeaceDetector:
 
 
 class OnePeaceSegmenter:
-    """ViT-Adapter backbone + UperNet (896px ADE20k recipe assembly)."""
+    """ViT-Adapter backbone + UperNet (lighter alternative to the
+    reference recipe's Mask2Former head, same 896px backbone)."""
 
     def __init__(self, enc_cfg, num_classes: int = 150, channels: int = 512,
                  **adapter_kw):
@@ -210,6 +214,7 @@ class OnePeaceSegmenter:
         self.head = UperNetHead([enc_cfg.embed_dim] * 4, channels=channels,
                                 num_classes=num_classes)
         self.num_classes = num_classes
+        self._slide_fn = None
 
     def init(self, key, dtype=jnp.float32):
         k1, k2 = jax.random.split(key)
@@ -255,6 +260,93 @@ class OnePeaceSegmenter:
         """images (B, 3, H, W) -> (B, H/4, W/4, num_classes) (jittable)."""
         feats = self.backbone(params["backbone"], images)
         return self.head(params["head"], feats)
+
+    def slide_logits(self, params, images: np.ndarray, crop: int,
+                     stride: int) -> np.ndarray:
+        """Sliding-window inference over an arbitrary-size image
+        (ref seg config test_cfg: mode='slide', crop_size=896,
+        stride=512): overlapping ``crop`` windows, per-pixel average of
+        the upsampled window scores.  One jit program (fixed crop shape)
+        reused across every window position; accumulation on host."""
+        import jax
+
+        if self._slide_fn is None:
+            self._slide_fn = jax.jit(self.logits)
+        b, _, h, w = images.shape
+        images = np.asarray(images, np.float32)
+        out = None
+        cnt = np.zeros((1, h, w, 1), np.float32)
+        ys = list(range(0, max(h - crop, 0) + 1, stride))
+        xs = list(range(0, max(w - crop, 0) + 1, stride))
+        if ys[-1] + crop < h:
+            ys.append(h - crop)
+        if xs[-1] + crop < w:
+            xs.append(w - crop)
+        for y0 in ys:
+            for x0 in xs:
+                tile = images[:, :, y0:y0 + crop, x0:x0 + crop]
+                ph, pw = crop - tile.shape[2], crop - tile.shape[3]
+                if ph or pw:
+                    tile = np.pad(tile, ((0, 0), (0, 0), (0, ph), (0, pw)))
+                sc = np.asarray(self._slide_fn(params, jnp.asarray(tile)),
+                                np.float32)
+                sc = sc.repeat(4, axis=1).repeat(4, axis=2)[
+                    :, : crop - ph, : crop - pw]
+                if out is None:
+                    out = np.zeros((b, h, w, sc.shape[-1]), np.float32)
+                out[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += sc
+                cnt[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += 1.0
+        return out / np.maximum(cnt, 1.0)
+
+    __call__ = logits
+
+
+class OnePeaceMask2FormerSegmenter(OnePeaceSegmenter):
+    """ViT-Adapter backbone + Mask2Former decode head — the assembly the
+    reference's headline 896px ADE20K recipe actually trains
+    (ref seg/configs/ade20k/mask2former_onepeace_adapter_g_896_40k_ade20k
+    _ss.py: num_queries=200, feat/out 1024, 6-layer MSDeformAttn pixel
+    decoder, 9-layer masked-attention transformer decoder).
+    ``load_pretrained`` is inherited (backbone from the pretrain
+    checkpoint, head fresh)."""
+
+    is_mask2former = True
+
+    def __init__(self, enc_cfg, num_classes: int = 150,
+                 feat_channels: int = 256, out_channels: Optional[int] = None,
+                 num_queries: int = 100, dec_layers: int = 9,
+                 dec_heads: int = 8, dec_ffn_dim: Optional[int] = None,
+                 pixel_layers: int = 6, pixel_heads: int = 8,
+                 pixel_ffn_dim: Optional[int] = None, **adapter_kw):
+        from .mask2former import Mask2FormerHead
+
+        super().__init__(enc_cfg, num_classes=num_classes, **adapter_kw)
+        self.num_queries = num_queries
+        d = enc_cfg.embed_dim
+        self.head = Mask2FormerHead(
+            num_classes, [d, d, d, d], feat_channels=feat_channels,
+            out_channels=out_channels or feat_channels,
+            num_queries=num_queries, num_layers=dec_layers,
+            num_heads=dec_heads,
+            ffn_dim=dec_ffn_dim or 8 * feat_channels,
+            pixel_decoder_layers=pixel_layers, pixel_heads=pixel_heads,
+            pixel_ffn_dim=pixel_ffn_dim or 4 * feat_channels)
+
+    def forward_sets(self, params, images: jnp.ndarray):
+        """images (B, 3, H, W) -> (all_cls (L, B, Q, C+1),
+        all_masks (L, B, Q, H/4, W/4)) for the set losses (jittable)."""
+        feats = self.backbone(params["backbone"], images)
+        return self.head(params["head"], feats)
+
+    def logits(self, params, images: jnp.ndarray) -> jnp.ndarray:
+        """Semantic class scores (B, H/4, W/4, C): final-layer set
+        prediction collapsed per pixel (Mask2Former semantic inference).
+        Scores are probabilities, not logits — argmax-compatible with the
+        UperNet path the eval loop uses."""
+        from .mask2former import semantic_inference
+
+        all_cls, all_masks = self.forward_sets(params, images)
+        return semantic_inference(all_cls[-1], all_masks[-1])
 
     __call__ = logits
 
