@@ -91,6 +91,13 @@ def main(argv: Optional[list] = None) -> int:
         else:
             params = ckpt.load_params(path)
 
+    if (params is not None and cfg.model._name == "one_peace_pretrain"
+            and (cfg.model.stage2_pretrain or cfg.model.reset_logit_scale)):
+        # stage-2 AL pretrain: overlay the stage-1 (VL) checkpoint onto a
+        # fresh stage-2 tree — audio branch fresh, logit_scale optionally
+        # reset (ref one_peace_pretrain.py:181-198, pretrain_al_3B.yaml)
+        params = model.upgrade_stage1_params(params, seed=cfg.common.seed)
+
     trainer = Trainer(cfg, model, criterion, params=params)
 
     progress = ProgressLogger(cfg.common.log_format, cfg.common.log_interval,

@@ -171,6 +171,13 @@ class ModelConfig:
     # (ref: one_peace_retrieval.py:30-31 copy_rel_pos_table)
     copy_rel_pos_table: bool = False
     head_type: str = "val"  # text | image | audio | vl | al | val
+    # stage-2 audio-language pretraining from a stage-1 (VL) checkpoint
+    # (ref: one_peace_pretrain.py:31-33 + run_scripts/pretrain/
+    # pretrain_al_3B.yaml model.{reset_logit_scale,stage2_pretrain}):
+    # stage2_pretrain freezes everything but the audio branch;
+    # reset_logit_scale re-initializes logit_scale on checkpoint load.
+    stage2_pretrain: bool = False
+    reset_logit_scale: bool = False
 
 
 

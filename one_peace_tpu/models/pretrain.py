@@ -12,6 +12,7 @@ scored by the DCL losses.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Optional
 
@@ -23,12 +24,16 @@ from ..core.registry import MODELS
 from .components import init_linear, linear
 from .one_peace import ModelWrapper
 
+logger = logging.getLogger(__name__)
+
 
 @MODELS.register("one_peace_pretrain")
 class OnePeacePretrainModel:
     def __init__(self, cfg: ModelConfig, logit_scale_init: float = 1 / 0.07,
-                 stage2_pretrain: bool = False):
+                 stage2_pretrain: Optional[bool] = None):
         self.cfg = cfg
+        if stage2_pretrain is None:
+            stage2_pretrain = getattr(cfg, "stage2_pretrain", False)
         self.stage2_pretrain = stage2_pretrain
         self.logit_scale_init = logit_scale_init
         self.encoder_wrapper = ModelWrapper(cfg.encoder)
@@ -171,3 +176,39 @@ class OnePeacePretrainModel:
         if "text_proj" in params:
             mask["text_proj"] = mask_subtree(params["text_proj"], False)
         return mask
+
+    def upgrade_stage1_params(self, loaded, seed: int = 0):
+        """Migrate a stage-1 (VL) checkpoint tree into this model's tree
+        (ref one_peace_pretrain.py:181-198 upgrade_state_dict_named):
+        overlay checkpoint values where the path exists in the fresh tree
+        with a matching shape; everything else (e.g. the audio branch on a
+        stage-2 model, whose config drops the image branch entirely) stays
+        freshly initialized.  With reset_logit_scale, logit_scale keeps the
+        fresh init instead of the checkpoint value (ref :184-185); stage-2's
+        deletion of image_* keys (ref :186-191) is implicit — the stage-2
+        config has no image branch, so those paths never match."""
+        fresh = self.init(jax.random.PRNGKey(seed))
+        skip = {"logit_scale"} if getattr(self.cfg, "reset_logit_scale", False) else set()
+
+        def overlay(f, l, path):
+            if isinstance(f, dict):
+                out = {}
+                for k, v in f.items():
+                    sub = f"{path}/{k}" if path else k
+                    if sub in skip:
+                        logger.info("%s reset (reset_logit_scale)", sub)
+                        out[k] = v
+                    elif isinstance(l, dict) and k in l:
+                        out[k] = overlay(v, l[k], sub)
+                    else:
+                        logger.info("%s not in checkpoint, re-initialized", sub)
+                        out[k] = v
+                return out
+            lsh = getattr(l, "shape", None)
+            if lsh is not None and tuple(lsh) == tuple(f.shape):
+                return jnp.asarray(l, dtype=f.dtype)
+            logger.info("%s shape mismatch %s vs %s, re-initialized",
+                        path, lsh, getattr(f, "shape", None))
+            return f
+
+        return overlay(fresh, loaded, "")

@@ -44,6 +44,19 @@ class BaseTask:
             "patch_image_size": self.cfg.patch_image_size,
         }
 
+    def audio_conv_spec(self):
+        """The model's audio conv-frontend spec, interpolated into the data
+        layer so padding/block masks use the model's actual frame count
+        (ref base_task.py:65: the task reads the model's conv spec via
+        II('model.encoder.audio_adapter.feature_encoder_spec'))."""
+        fc = self.framework_cfg
+        if fc is not None:
+            spec = fc.model.encoder.audio_adapter.feature_encoder_spec
+            return tuple(tuple(layer) for layer in spec)
+        from ..data.datasets import DEFAULT_SPEC
+
+        return DEFAULT_SPEC
+
     def load_dataset(self, split: str):
         spec = self.cfg.data if split == "train" else self.cfg.valid_data
         table = load_tables(spec, self.cfg.selected_cols or None)

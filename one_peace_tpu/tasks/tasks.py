@@ -108,7 +108,8 @@ class AudioTextRetrievalTask(RetrievalTaskMixin, BaseTask):
 
     def dataset_kwargs(self):
         return {"max_src_length": self.cfg.max_src_length,
-                "max_duration": self.cfg.max_duration}
+                "max_duration": self.cfg.max_duration,
+                "feature_encoder_spec": self.audio_conv_spec()}
 
 
 @TASKS.register("image_text_pretrain")
@@ -172,6 +173,7 @@ class AudioTextPretrainTask(RetrievalTaskMixin, BaseTask):
             "audio_mask_ratio": c.audio_mask_ratio,
             "al_text_mask_ratio": c.al_text_mask_ratio,
             "al_audio_mask_ratio": c.al_audio_mask_ratio,
+            "feature_encoder_spec": self.audio_conv_spec(),
         }
 
     def load_dataset(self, split: str):
@@ -182,6 +184,7 @@ class AudioTextPretrainTask(RetrievalTaskMixin, BaseTask):
             self.dataset_kwargs = lambda: {
                 "max_src_length": self.cfg.max_src_length,
                 "max_duration": self.cfg.max_duration,
+                "feature_encoder_spec": self.audio_conv_spec(),
             }
             try:
                 return super().load_dataset(split)
@@ -275,7 +278,8 @@ class VggsoundTask(ClassifyTaskBase):
     criterion_name = "classify_criterion"
 
     def dataset_kwargs(self):
-        return {"max_duration": self.cfg.max_duration}
+        return {"max_duration": self.cfg.max_duration,
+                "feature_encoder_spec": self.audio_conv_spec()}
 
 
 @TASKS.register("fsd50k")
@@ -290,7 +294,8 @@ class Fsd50kTask(BaseTask):
         self.metric = MAP()
 
     def dataset_kwargs(self):
-        return {"max_duration": self.cfg.max_duration}
+        return {"max_duration": self.cfg.max_duration,
+                "feature_encoder_spec": self.audio_conv_spec()}
 
     def begin_valid_epoch(self, model, params):
         self.metric.initialize()
@@ -313,7 +318,8 @@ class AqaTask(ClassifyTaskBase):
 
     def dataset_kwargs(self):
         return {"max_src_length": self.cfg.max_src_length,
-                "max_duration": self.cfg.max_duration}
+                "max_duration": self.cfg.max_duration,
+                "feature_encoder_spec": self.audio_conv_spec()}
 
     def valid_step(self, model, params, batch):
         num_choices = 4

@@ -323,3 +323,42 @@ def test_watchdog_nested_guards():
             pass
     time.sleep(0.8)  # past the outer timeout; nothing may fire
     assert not wd.tripped
+
+
+def test_audio_tasks_interpolate_model_conv_spec(tmp_path):
+    """The task must pass the MODEL's audio conv spec into the dataset so
+    padding/block masks use the model's actual frame count (ref
+    base_task.py:65 II('model.encoder.audio_adapter.feature_encoder_spec')).
+    Regression: a non-default spec used to fall back to the 320x-stride
+    default, yielding padding masks twice as long as the features."""
+    import wave
+
+    import numpy as np
+
+    from one_peace_tpu.core.config import load_config
+    from one_peace_tpu.models.adapters.audio import conv_output_length
+    from one_peace_tpu.tasks import build_task
+
+    wav_path = tmp_path / "a0.wav"
+    data = (np.random.RandomState(0).randn(16000) * 3000).astype(np.int16)
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(data.tobytes())
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("uniq_id\taudio\ttext\tduration\n"
+                   f"0\t{wav_path}\ta dog barking\t1.0\n")
+
+    spec = "((8,10,5),(8,8,8),(8,8,8),(8,2,2))"  # stride 640, not 320
+    cfg = load_config(None, [
+        "task._name=audio_text_pretrain",
+        f"task.data={tsv}",
+        "task.selected_cols=uniq_id,audio,text,duration",
+        f"model.encoder.audio_adapter.feature_encoder_spec={spec}",
+    ])
+    task = build_task(cfg.task, cfg)
+    ds = task.load_dataset("train")
+    item = ds[0]
+    t = conv_output_length(len(item["source_audio"]),
+                           cfg.model.encoder.audio_adapter.feature_encoder_spec)
+    assert item["audio_padding_mask"].shape == (t + 1,)
+    assert item["audio_mask_indices"].shape == (t + 1,)

@@ -157,3 +157,54 @@ def test_al_pretrain_step_stage2():
     assert not any(jax.tree.leaves(enc_mask["text_adapter"]))
     assert all(jax.tree.leaves(enc_mask["fusion"]["layers"]["audio_ffn"]))
     assert not any(jax.tree.leaves(enc_mask["fusion"]["layers"]["text_ffn"]))
+
+
+def test_stage2_upgrade_from_stage1_checkpoint():
+    """Stage-1 (VL) -> stage-2 (AL) checkpoint migration
+    (ref one_peace_pretrain.py:181-198 + pretrain_al_3B.yaml): shared
+    branches carry over, the audio branch is fresh, logit_scale resets."""
+    cfg1 = _tiny_pretrain_cfg(audio=False)
+    m1 = OnePeacePretrainModel(cfg1)
+    p1 = m1.init(jax.random.PRNGKey(0))
+    p1["logit_scale"] = p1["logit_scale"] + 1.0  # make the reset observable
+
+    cfg2 = _tiny_pretrain_cfg(audio=True)
+    cfg2.stage2_pretrain = True
+    cfg2.reset_logit_scale = True
+    m2 = OnePeacePretrainModel(cfg2)
+    assert m2.stage2_pretrain  # flag flows from the config, no kwarg needed
+
+    p2 = m2.upgrade_stage1_params(p1, seed=7)
+    fresh = m2.init(jax.random.PRNGKey(7))
+
+    # tree structure matches the stage-2 model exactly (image branch gone)
+    assert (jax.tree_util.tree_structure(p2)
+            == jax.tree_util.tree_structure(fresh))
+    # shared text adapter carried over bit-for-bit from stage 1
+    for a, b in zip(jax.tree.leaves(p2["encoder_wrapper"]["text_adapter"]),
+                    jax.tree.leaves(p1["encoder_wrapper"]["text_adapter"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # audio branch freshly initialized (absent from the stage-1 tree)
+    for a, b in zip(jax.tree.leaves(p2["encoder_wrapper"]["audio_adapter"]),
+                    jax.tree.leaves(fresh["encoder_wrapper"]["audio_adapter"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # logit_scale keeps the fresh init, not the perturbed checkpoint value
+    assert float(p2["logit_scale"]) == float(fresh["logit_scale"])
+    assert float(p2["logit_scale"]) != float(p1["logit_scale"])
+
+
+def test_pretrain_al_recipe_parses():
+    """The shipped stage-2 AL recipe must express the reference's flags
+    (ref pretrain_al_3B.yaml model.{stage2_pretrain,reset_logit_scale})."""
+    import os
+
+    from one_peace_tpu.core.config import load_config
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, stage2 in (("pretrain_al_4b.yaml", True),
+                         ("pretrain_vl_4b.yaml", False)):
+        cfg = load_config(os.path.join(root, "recipes/pretrain", name))
+        assert cfg.model._name == "one_peace_pretrain"
+        assert cfg.model.stage2_pretrain is stage2
+        assert cfg.model.reset_logit_scale is stage2
+    assert cfg.task._name == "image_text_pretrain"
