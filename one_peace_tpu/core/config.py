@@ -232,6 +232,12 @@ class TaskConfig:
     reduce_zero_label: bool = True  # ADE20K 0->ignore relabeling
     num_frames: int = 16
     frame_tmpl: str = "img_{:05d}.jpg"  # mmaction2 rawframes naming
+    # multi-view video testing (ref video/configs/recognition/
+    # onepeace_k400_frame32.py:50-60 test_pipeline: SampleFrames
+    # num_clips=3 + ThreeCrop; scores averaged as softmax probs per
+    # _base_/models/onepeace.py:23 average_clips='prob')
+    video_test_clips: int = 1
+    video_test_three_crop: bool = False
     # detection trunk structure (ref ViTDet window pattern) + proposer
     window_size: int = 16
     global_period: int = 4
@@ -245,6 +251,13 @@ class TaskConfig:
     seg_num_points: int = 2048  # point-sampled loss budget (ref: 12544)
     seg_dec_layers: int = 9  # mask2former decoder depth (ref: 9)
     seg_pixel_layers: int = 6  # mask2former pixel-decoder depth (ref: 6)
+    # seg eval protocol: 'whole' (jitted whole-crop argmax), 'slide'
+    # (mmseg test_cfg mode='slide'), 'ms_flip' (seg/test.py --aug-test:
+    # multi-scale ratios + horizontal flip, softmax-averaged — the
+    # reference's "ms" headline numbers)
+    seg_eval_protocol: str = "whole"
+    seg_eval_stride: int = 512  # slide stride (ref test_cfg stride=512)
+    seg_ms_ratios: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
 
 
 @dataclass

@@ -368,6 +368,7 @@ class RawframeVideoDataset:
     def __init__(self, split: str, ann_file: str, data_root: str,
                  num_frames: int = 16, image_size: int = 256,
                  frame_tmpl: str = "img_{:05d}.jpg", start_index: int = 1,
+                 test_num_clips: int = 1, test_three_crop: bool = False,
                  seed: int = 3407):
         self.split = split
         self.data_root = data_root
@@ -375,6 +376,8 @@ class RawframeVideoDataset:
         self.image_size = image_size
         self.frame_tmpl = frame_tmpl
         self.start_index = start_index
+        self.test_num_clips = test_num_clips
+        self.test_three_crop = test_three_crop
         self.rng = np.random.RandomState(seed)
         self.clips: List[Tuple[str, int, int]] = []
         with open(ann_file) as fh:
@@ -386,20 +389,72 @@ class RawframeVideoDataset:
     def __len__(self) -> int:
         return len(self.clips)
 
-    def _frame_indices(self, total: int) -> np.ndarray:
+    def _frame_indices(self, total: int, clip_idx: int = 0,
+                       num_clips: int = 1) -> np.ndarray:
         t = self.num_frames
         seg = total / t
         if self.split == "train":
             offs = self.rng.uniform(0, seg, t)
         else:
-            offs = np.full(t, seg / 2)
+            # multi-clip testing: clip i samples offset fraction
+            # (i + 0.5)/num_clips of every segment, spreading the test
+            # clips across the video (ref SampleFrames num_clips=3
+            # test_mode, expressed in this dataset's segment sampling);
+            # num_clips=1 reduces to the segment centers
+            offs = np.full(t, seg * (clip_idx + 0.5) / num_clips)
         idx = (np.arange(t) * seg + offs).astype(np.int64)
         return np.clip(idx, 0, total - 1)
+
+    def _load_short_side(self, rel_dir: str, fi: int):
+        """Decode one frame and resize its short side to image_size."""
+        from PIL import Image
+
+        path = os.path.join(self.data_root, rel_dir,
+                            self.frame_tmpl.format(int(fi) + self.start_index))
+        img = _load_pil(path)
+        w0, h0 = img.size
+        size = self.image_size
+        f = size / min(h0, w0)
+        new_w = max(size, int(round(w0 * f)))
+        new_h = max(size, int(round(h0 * f)))
+        return img.resize((new_w, new_h), Image.BILINEAR)
+
+    def _test_views(self, rel_dir: str, total: int) -> np.ndarray:
+        """(V, T, 3, S, S) test views: test_num_clips temporal clips x
+        ThreeCrop (3 crops along the long axis) or center crop (ref
+        video test_pipeline: SampleFrames num_clips=3 + ThreeCrop 256)."""
+        size = self.image_size
+        views = []
+        n = self.test_num_clips
+        for ci in range(n):
+            frames = [self._load_short_side(rel_dir, fi)
+                      for fi in self._frame_indices(total, ci, n)]
+            w, h = frames[0].size
+            if self.test_three_crop:
+                if w >= h:
+                    offs = [(0, 0), ((w - size) // 2, 0), (w - size, 0)]
+                else:
+                    offs = [(0, 0), (0, (h - size) // 2), (0, h - size)]
+            else:
+                offs = [((w - size) // 2, (h - size) // 2)]
+            for left, top in offs:
+                views.append(np.stack([
+                    normalize_image(np.asarray(
+                        f.crop((left, top, left + size, top + size))))
+                    for f in frames]).astype(np.float32))
+        return np.stack(views)
 
     def __getitem__(self, index: int):
         from PIL import Image
 
         rel_dir, total, label = self.clips[index]
+        if self.split != "train" and (self.test_num_clips > 1
+                                      or self.test_three_crop):
+            return {
+                "id": index,
+                "src_videos": self._test_views(rel_dir, total),
+                "target": np.int32(label),
+            }
         size = self.image_size
         rng = self.rng
         # one spatial transform per clip, shared by all frames

@@ -192,7 +192,28 @@ class Ade20kSegTask(VisionTaskBase):
     def valid_step(self, model, params, batch):
         """Device-side per-batch confusion matrix; the (C, C) accumulator
         lives on device and is fetched ONCE in merge_results (no per-batch
-        host round-trip)."""
+        host round-trip).  task.seg_eval_protocol selects 'slide' (mmseg
+        test_cfg mode='slide') or 'ms_flip' (ref seg/test.py:143-148
+        --aug-test) instead of the jitted whole-crop path."""
+        proto = getattr(self.cfg, "seg_eval_protocol", "whole")
+        if proto != "whole":
+            imgs = np.asarray(batch["src_images"], np.float32)
+            crop, stride = self.cfg.image_size, self.cfg.seg_eval_stride
+            if proto == "slide":
+                sc = model.slide_logits(params, imgs, crop, stride)
+            else:
+                assert proto == "ms_flip", proto
+                sc = model.ms_flip_logits(
+                    params, imgs, crop, stride,
+                    ratios=tuple(self.cfg.seg_ms_ratios), flip=True)
+            pred = sc.argmax(-1)
+            t = np.asarray(batch["target"])
+            c, ign = self.metric.num_classes, self.metric.ignore_index
+            valid = t != ign
+            idx = t[valid] * c + np.clip(pred[valid], 0, c - 1)
+            cm = np.bincount(idx, minlength=c * c).reshape(c, c)
+            self.metric.update_confusion(cm)
+            return
         import jax.numpy as jnp
 
         c = self.metric.num_classes
@@ -243,7 +264,9 @@ class K400VideoTask(VisionTaskBase):
             c.valid_image_dir or c.image_dir)
         return RawframeVideoDataset(
             split, ann, root, num_frames=c.num_frames,
-            image_size=c.image_size, frame_tmpl=c.frame_tmpl)
+            image_size=c.image_size, frame_tmpl=c.frame_tmpl,
+            test_num_clips=c.video_test_clips,
+            test_three_crop=c.video_test_three_crop)
 
     def build_model(self, cfg):
         from ..vision.zoo import OnePeaceVideoClassifier
@@ -258,11 +281,25 @@ class K400VideoTask(VisionTaskBase):
             checkpoint_activations=enc.checkpoint_activations)
 
     def valid_step(self, model, params, batch):
+        import jax
         import jax.numpy as jnp
 
-        fn = self._jit("video_pred", lambda p, x: jnp.argmax(
-            model(p, x), axis=-1).astype(jnp.int32))
-        pred = fn(params, batch["src_videos"])  # stays on device
+        x = batch["src_videos"]
+        if x.ndim == 6:
+            # multi-view testing (B, V, T, 3, S, S): run every view and
+            # average the softmax probabilities per clip (ref
+            # _base_/models/onepeace.py:23 average_clips='prob')
+            def mv_pred(p, x):
+                flat = x.reshape((-1,) + x.shape[2:])
+                probs = jax.nn.softmax(model(p, flat), axis=-1)
+                probs = probs.reshape(x.shape[0], x.shape[1], -1).mean(1)
+                return jnp.argmax(probs, axis=-1).astype(jnp.int32)
+
+            pred = self._jit("video_pred_mv", mv_pred)(params, jnp.asarray(x))
+        else:
+            fn = self._jit("video_pred", lambda p, x: jnp.argmax(
+                model(p, x), axis=-1).astype(jnp.int32))
+            pred = fn(params, x)  # stays on device
         target = jnp.asarray(batch["target"])
         self.metric.compute(ncorrect=(pred == target).sum(),
                             count=int(pred.shape[0]))

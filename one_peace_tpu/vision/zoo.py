@@ -298,6 +298,45 @@ class OnePeaceSegmenter:
                 cnt[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += 1.0
         return out / np.maximum(cnt, 1.0)
 
+    def ms_flip_logits(self, params, images: np.ndarray, crop: int,
+                       stride: int,
+                       ratios=(0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+                       flip: bool = True) -> np.ndarray:
+        """mmseg MultiScaleFlipAug test protocol — the reference's "ms"
+        eval numbers (ref seg/test.py:143-148 img_ratios + flip; mmseg
+        EncoderDecoder.aug_test): for each image ratio (and its horizontal
+        flip) run slide inference, bilinearly resize the class scores back
+        to the input resolution, softmax, and average the per-view
+        probabilities.  Returns (B, H, W, C) averaged probs."""
+        import jax
+
+        b, _, h, w = images.shape
+        images = np.asarray(images, np.float32)
+        acc = None
+        views = 0
+        for r in ratios:
+            nh, nw = max(1, round(h * r)), max(1, round(w * r))
+            if (nh, nw) == (h, w):
+                imr = images
+            else:
+                imr = np.asarray(jax.image.resize(
+                    jnp.asarray(images), (b, 3, nh, nw), method="bilinear"))
+            for flipped in ((False, True) if flip else (False,)):
+                v = imr[:, :, :, ::-1] if flipped else imr
+                sc = self.slide_logits(params, np.ascontiguousarray(v),
+                                       crop, stride)
+                if flipped:
+                    sc = sc[:, :, ::-1, :]
+                if sc.shape[1:3] != (h, w):
+                    sc = np.asarray(jax.image.resize(
+                        jnp.asarray(sc), (b, h, w, sc.shape[-1]),
+                        method="bilinear"))
+                e = np.exp(sc - sc.max(-1, keepdims=True))
+                prob = e / e.sum(-1, keepdims=True)
+                acc = prob if acc is None else acc + prob
+                views += 1
+        return acc / views
+
     __call__ = logits
 
 

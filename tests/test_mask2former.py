@@ -214,3 +214,42 @@ def test_ade20k_mask2former_trains(tmp_path):
         task.valid_step(model, trainer.params, batch)
     stats = task.merge_results()
     assert "miou" in stats and 0.0 <= stats["miou"] <= 100.0
+
+
+def test_ms_flip_logits(tiny_m2f):
+    """ms_flip_logits (ref seg/test.py:143-148 --aug-test) must reduce to
+    softmax(slide_logits) for ratios=(1.0,) no-flip, and average softmaxed
+    per-view scores (each resized back to input resolution) in general."""
+    seg, params = tiny_m2f
+    imgs = np.random.RandomState(7).rand(1, 3, 64, 64).astype(np.float32)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    base = softmax(seg.slide_logits(params, imgs, crop=64, stride=64))
+    single = seg.ms_flip_logits(params, imgs, crop=64, stride=64,
+                                ratios=(1.0,), flip=False)
+    np.testing.assert_allclose(single, base, atol=1e-6)
+
+    # independently composed expectation for ratios=(0.5, 1.0) + flip
+    views = [base]
+    fl = seg.slide_logits(params, np.ascontiguousarray(imgs[:, :, :, ::-1]),
+                          crop=64, stride=64)
+    views.append(softmax(fl[:, :, ::-1, :]))
+    small = np.asarray(jax.image.resize(jnp.asarray(imgs), (1, 3, 32, 32),
+                                        method="bilinear"))
+    for v, unflip in ((small, False), (small[:, :, :, ::-1], True)):
+        sc = seg.slide_logits(params, np.ascontiguousarray(v),
+                              crop=64, stride=64)
+        if unflip:
+            sc = sc[:, :, ::-1, :]
+        sc = np.asarray(jax.image.resize(jnp.asarray(sc), (1, 64, 64, 5),
+                                         method="bilinear"))
+        views.append(softmax(sc))
+    expected = np.mean(views, axis=0)
+    got = seg.ms_flip_logits(params, imgs, crop=64, stride=64,
+                             ratios=(0.5, 1.0), flip=True)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+    # averaged probabilities stay a distribution
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)

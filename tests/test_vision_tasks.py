@@ -367,3 +367,76 @@ def test_rle_mask_padding_stays_empty(tmp_path):
     m = s["gt_masks"][0]  # (16, 16) at stride 4; image occupies top 8 rows
     assert m[:8].all(), "in-image mask rows must be filled"
     assert not m[8:].any(), "padding rows must stay empty"
+
+
+def test_seg_eval_protocol_ms_flip_branch():
+    """task.seg_eval_protocol routes valid_step through slide/ms_flip
+    host inference (ref seg/test.py --aug-test) and folds a host-side
+    confusion matrix into the MIoU accumulators."""
+    from one_peace_tpu.core.config import TaskConfig
+    from one_peace_tpu.tasks.vision_tasks import Ade20kSegTask
+
+    cfg = TaskConfig(_name="ade20k_seg", num_classes=3, image_size=16,
+                     seg_eval_protocol="ms_flip", seg_ms_ratios=(0.5, 1.0))
+    task = Ade20kSegTask(cfg)
+    target = np.random.RandomState(0).randint(0, 3, (2, 16, 16)).astype(np.int32)
+    target[:, :2] = 255  # ignore band
+
+    class Oracle:
+        def ms_flip_logits(self, params, images, crop, stride, ratios, flip):
+            assert ratios == (0.5, 1.0) and flip and crop == 16
+            probs = np.zeros(target.shape + (3,), np.float32)
+            np.put_along_axis(probs, np.clip(target[..., None], 0, 2), 1.0, -1)
+            return probs
+
+    task.begin_valid_epoch(None, None)
+    batch = {"src_images": np.zeros((2, 3, 16, 16), np.float32),
+             "target": target}
+    task.valid_step(Oracle(), None, batch)
+    stats = task.merge_results()
+    assert stats["miou"] == 100.0
+
+
+def test_video_multiview_testing(video_corpus):
+    """Multi-view video testing (ref onepeace_k400_frame32.py:50-60:
+    SampleFrames num_clips=3 + ThreeCrop, probs averaged per
+    average_clips='prob'): the eval dataset emits (V, T, 3, S, S) views
+    and the task averages softmax probabilities over them."""
+    from one_peace_tpu.core.config import load_config
+    from one_peace_tpu.data.vision_datasets import RawframeVideoDataset
+    from one_peace_tpu.tasks import build_task
+
+    root, ann, frames_root = video_corpus
+    ds = RawframeVideoDataset("valid", ann, frames_root, num_frames=4,
+                              image_size=32, test_num_clips=3,
+                              test_three_crop=True)
+    item = ds[0]
+    assert item["src_videos"].shape == (9, 4, 3, 32, 32)
+    # distinct temporal clips sample distinct frames on long-enough videos
+    assert not np.array_equal(ds._frame_indices(40, 0, 3),
+                              ds._frame_indices(40, 2, 3))
+    # center crop of the center clip matches the single-view eval sample
+    single = RawframeVideoDataset("valid", ann, frames_root, num_frames=4,
+                                  image_size=32)[0]
+    np.testing.assert_array_equal(item["src_videos"][4], single["src_videos"])
+
+    cfg = load_config(None, _common_overrides(root) + [
+        "task._name=k400_video",
+        f"task.data={ann}", f"task.valid_data={ann}",
+        f"task.image_dir={frames_root}",
+        "task.image_size=32", "task.num_classes=3", "task.num_frames=4",
+        "task.video_test_clips=3", "task.video_test_three_crop=true",
+    ])
+    task = build_task(cfg.task, cfg)
+    model = task.build_model(cfg)
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0))
+    task.load_dataset("valid")
+    task.begin_valid_epoch(model, params)
+    vitr = task.get_batch_iterator("valid", 8, ensure_equal_batch=False)
+    for batch in vitr.next_epoch_itr():
+        assert batch["src_videos"].ndim == 6
+        task.valid_step(model, params, batch)
+    stats = task.merge_results()
+    assert stats["count"] == 8 and 0.0 <= stats["accuracy"] <= 100.0
