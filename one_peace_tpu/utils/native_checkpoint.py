@@ -54,8 +54,24 @@ def _unflatten(flat: Dict[str, Any]):
 
 
 def save_params(path: str, params, metadata: Optional[Dict] = None) -> None:
-    """Flat .npz export of a parameter tree."""
-    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    """Flat .npz export of a parameter tree.
+
+    bfloat16 leaves are stored as uint16 bit-views plus a key manifest —
+    np.savez would otherwise serialize the ml_dtypes extended dtype as an
+    opaque void (``|V2``) array that cannot be loaded back."""
+    import ml_dtypes
+
+    flat = {}
+    bf16_keys = []
+    for k, v in _flatten(params).items():
+        arr = np.asarray(v)
+        if arr.dtype == ml_dtypes.bfloat16:
+            bf16_keys.append(k)
+            arr = arr.view(np.uint16)
+        flat[k] = arr
+    if bf16_keys:
+        flat["__bf16_keys__"] = np.frombuffer(
+            json.dumps(bf16_keys).encode(), dtype=np.uint8)
     if metadata is not None:
         flat["__metadata__"] = np.frombuffer(
             json.dumps(metadata).encode(), dtype=np.uint8)
@@ -65,9 +81,15 @@ def save_params(path: str, params, metadata: Optional[Dict] = None) -> None:
 
 def load_params(path: str, dtype=None):
     import jax.numpy as jnp
+    import ml_dtypes
 
+    special = ("__metadata__", "__bf16_keys__")
     with np.load(path) as data:
-        flat = {k: data[k] for k in data.files if k != "__metadata__"}
+        flat = {k: data[k] for k in data.files if k not in special}
+        bf16_keys = (set(json.loads(data["__bf16_keys__"].tobytes()))
+                     if "__bf16_keys__" in data.files else set())
+    for k in bf16_keys:
+        flat[k] = flat[k].view(ml_dtypes.bfloat16)
     tree = _unflatten(flat)
 
     def cast(x):

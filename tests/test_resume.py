@@ -142,3 +142,33 @@ def test_iterator_double_preemption():
     remaining = list(g2)
     assert len(remaining) == 2  # 5 batches/epoch: 3 consumed, 2 left
     assert itr2.epoch == 2 and itr2.state_dict()["consumed"] == 0
+
+
+def test_save_params_bf16_roundtrip(tmp_path):
+    """bf16 leaves must survive the flat-npz export bit-exactly; np.savez
+    writes the ml_dtypes extended dtype as an unloadable void array unless
+    save_params stores a uint16 bit-view (drive-found bug)."""
+    import jax.numpy as jnp
+
+    from one_peace_tpu.utils.native_checkpoint import load_params, save_params
+
+    tree = {
+        "a": jnp.asarray(np.random.RandomState(0).randn(4, 8), jnp.bfloat16),
+        "nested": {"b": jnp.arange(5, dtype=jnp.int32),
+                   "c": jnp.asarray([1.5, -2.25], jnp.float32)},
+    }
+    path = str(tmp_path / "p.npz")
+    save_params(path, tree, metadata={"step": 7})
+    back = load_params(path)
+    assert back["a"].dtype == jnp.bfloat16
+    assert np.array_equal(np.asarray(back["a"], np.float32),
+                          np.asarray(tree["a"], np.float32))
+    assert back["nested"]["b"].dtype == jnp.int32
+    assert np.array_equal(back["nested"]["c"], tree["nested"]["c"])
+    # load-time cast still applies to floats only
+    cast = load_params(path, dtype=jnp.float32)
+    assert cast["a"].dtype == jnp.float32
+    assert cast["nested"]["b"].dtype == jnp.int32
+
+    from one_peace_tpu.utils.native_checkpoint import load_metadata
+    assert load_metadata(path) == {"step": 7}
