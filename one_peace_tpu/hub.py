@@ -104,11 +104,18 @@ def from_pretrained(
     attn_impl: str = "pallas",
     num_classes: Optional[int] = None,
     classify_kwargs: Optional[dict] = None,
+    quantize: str = "none",
 ) -> "OnePeaceHubInterface":
     """Load a checkpoint into the retrieval model.
 
     ``model_path`` may be a fairseq ``.pt`` (converted via
     utils/checkpoint_convert) or a native ``.npz`` of flat params.
+
+    ``quantize`` selects the int8 serving path (ops/quant.py): ``"ffn"``
+    converts the per-modality FFN projections (+23% measured on v5e,
+    max emb err ~2e-4), ``"ffn_attn"`` additionally converts the
+    self-attention q/k/v/out projections.  ``"none"`` (default) keeps
+    exact parity numerics.
     """
     built_default_model_cfg = model_cfg is None
     if model_cfg is None:
@@ -142,6 +149,13 @@ def from_pretrained(
         from .utils.native_checkpoint import load_params
 
         params = load_params(model_path, dtype=jdtype)
+    if quantize != "none":
+        from .ops.quant import quantize_ffn_params
+
+        assert quantize in ("ffn", "ffn_attn"), quantize
+        params = dict(params)
+        params["encoder_wrapper"] = quantize_ffn_params(
+            params["encoder_wrapper"], include_attn=(quantize == "ffn_attn"))
     return OnePeaceHubInterface(model_cfg, task_cfg, model, params, dtype=jdtype,
                                 bpe_dir=bpe_dir)
 

@@ -104,13 +104,19 @@ def init_encoder_layer(key, cfg: EncoderConfig, dtype=jnp.float32):
 def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
                deterministic, rng):
     """ref: multihead_attention.py:68-126 (fused-qkv xformers path semantics:
-    k_proj has no bias; fp32 softmax; optional per-head gain + Magneto LN)."""
+    k_proj has no bias; fp32 softmax; optional per-head gain + Magneto LN).
+
+    Projections dispatch to the int8 path when the params were converted
+    by ops.quant.quantize_ffn_params(include_attn=True) (serving mode)."""
+    from ..ops.quant import is_quantized, quantized_linear
+
+    lin = quantized_linear if is_quantized(params["q_proj"]) else linear
     b, l, d = x.shape
     h = cfg.attention_heads
     hd = d // h
-    q = linear(params["q_proj"], x).reshape(b, l, h, hd)
-    k = linear(params["k_proj"], x).reshape(b, l, h, hd)
-    v = linear(params["v_proj"], x).reshape(b, l, h, hd)
+    q = lin(params["q_proj"], x).reshape(b, l, h, hd)
+    k = lin(params["k_proj"], x).reshape(b, l, h, hd)
+    v = lin(params["v_proj"], x).reshape(b, l, h, hd)
     attn = multihead_attention(
         q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5, impl=cfg.attn_impl
     )
@@ -119,7 +125,8 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
         attn = (attn.reshape(b, l, h, hd) * params["c_attn"][:, None]).reshape(b, l, d)
     if "ln" in params:
         attn = layer_norm(params["ln"], attn)
-    return linear(params["out_proj"], attn)
+    lin_o = quantized_linear if is_quantized(params["out_proj"]) else linear
+    return lin_o(params["out_proj"], attn)
 
 
 def _geglu_ffn(params, x, act_dropout, deterministic, rng):

@@ -61,21 +61,30 @@ def quantized_linear(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(orig_shape[:-1] + (params["w_q"].shape[1],)).astype(x.dtype)
 
 
-def quantize_ffn_params(params):
+def quantize_ffn_params(params, include_attn: bool = False):
     """Convert every stacked FFN projection (wi_0/wi_1/wo of each modality
     branch) in an encoder-wrapper param tree to int8.  Leaves the rest of
     the model in bf16/fp32.  Works on stacked (layers, in, out) weights by
-    vmapping the per-layer quantizer."""
+    vmapping the per-layer quantizer.
 
-    def convert_ffn(ffn):
-        out = dict(ffn)
-        for name in ("wi_0", "wi_1", "wo"):
-            lin = ffn[name]
-            q = jax.vmap(quantize_weight)(lin["w"])
-            newlin = {"w_q": q["w_q"], "w_scale": q["w_scale"]}
-            if "b" in lin:
-                newlin["b"] = lin["b"]
-            out[name] = newlin
+    ``include_attn`` also converts the encoder self-attention projections
+    (q/k/v/out_proj — another ~25% of the projection FLOPs); per-head
+    gains / Magneto LN stay full precision."""
+
+    def convert_lin(lin):
+        quant = quantize_weight if lin["w"].ndim == 2 \
+            else jax.vmap(quantize_weight)
+        q = quant(lin["w"])
+        newlin = {"w_q": q["w_q"], "w_scale": q["w_scale"]}
+        if "b" in lin:
+            newlin["b"] = lin["b"]
+        return newlin
+
+    def convert_block(block, names):
+        out = dict(block)
+        for name in names:
+            if name in block:
+                out[name] = convert_lin(block[name])
         return out
 
     def walk(tree):
@@ -83,7 +92,11 @@ def quantize_ffn_params(params):
             new = {}
             for k, v in tree.items():
                 if k.endswith("_ffn") and isinstance(v, dict) and "wi_0" in v:
-                    new[k] = convert_ffn(v)
+                    new[k] = convert_block(v, ("wi_0", "wi_1", "wo"))
+                elif (include_attn and k == "self_attn"
+                      and isinstance(v, dict) and "q_proj" in v):
+                    new[k] = convert_block(
+                        v, ("q_proj", "k_proj", "v_proj", "out_proj"))
                 else:
                     new[k] = walk(v)
             return new

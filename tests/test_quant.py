@@ -44,3 +44,28 @@ def test_quantized_model_embeddings_close():
     # int8 leaves actually present
     leaf = qparams["encoder_wrapper"]["fusion"]["layers"]["text_ffn"]["wi_0"]
     assert leaf["w_q"].dtype == jnp.int8
+
+
+def test_quantized_attention_embeddings_close():
+    """include_attn=True additionally converts q/k/v/out_proj; embeddings
+    stay close and the attention leaves are really int8."""
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.ops.quant import quantize_ffn_params
+
+    cfg = tiny_model_config(head_type="val")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    qparams = dict(params)
+    qparams["encoder_wrapper"] = quantize_ffn_params(
+        params["encoder_wrapper"], include_attn=True)
+
+    tokens = jnp.asarray(np.random.RandomState(1).randint(5, 99, (2, 8)))
+    ref = model(params, src_tokens=tokens, encoder_type="text")
+    got = model(qparams, src_tokens=tokens, encoder_type="text")
+    assert _cos(got, ref) > 0.995
+    layers = qparams["encoder_wrapper"]["fusion"]["layers"]
+    attn = layers["self_attn"]
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        assert attn[name]["w_q"].dtype == jnp.int8
+    # k_proj has no bias; the others keep theirs
+    assert "b" not in attn["k_proj"] and "b" in attn["q_proj"]
