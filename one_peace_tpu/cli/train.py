@@ -62,6 +62,7 @@ def main(argv: Optional[list] = None) -> int:
 
     cfg = load_config(args.config, args.overrides)
     logging.basicConfig(level=logging.INFO)
+    _BEST_METRIC["value"] = None  # fresh run (in-process reuse in tests)
 
     task = build_task(cfg.task, cfg)
     if not cfg.criterion._name:
@@ -147,6 +148,15 @@ def main(argv: Optional[list] = None) -> int:
     import jax
 
     tracing = False
+    last_val_step = -1
+
+    def run_validation():
+        nonlocal last_val_step
+        with jax.profiler.TraceAnnotation("validate"):
+            stats = validate(cfg, task, model, trainer, progress)
+        _maybe_save_best(cfg, trainer, stats)
+        last_val_step = trainer.step
+
     while trainer.step < max_update and itr.epoch <= max_epoch:
         epoch = itr.epoch
         with aggregate(new_root=True) as agg:
@@ -167,6 +177,13 @@ def main(argv: Optional[list] = None) -> int:
                 for k, v in metrics.items():
                     log_scalar(k, v)
                 progress.log(metrics, trainer.step)
+                if _should_validate(cfg, task, trainer.step, epoch,
+                                    end_of_epoch=False):
+                    # mid-epoch validation (ref train.py:345-358:
+                    # validate_interval_updates + validate-on-interval-save);
+                    # runs BEFORE the interval save so a resumed state
+                    # carries the updated best metric
+                    run_validation()
                 if (cfg.checkpoint.save_interval_updates
                         and trainer.step % cfg.checkpoint.save_interval_updates == 0):
                     save(trainer.step)
@@ -174,10 +191,9 @@ def main(argv: Optional[list] = None) -> int:
                     break
             progress.print(agg.as_dict(), trainer.step)
 
-        if cfg.task.valid_data and epoch % cfg.dataset.validate_interval == 0:
-            with jax.profiler.TraceAnnotation("validate"):
-                stats = validate(cfg, task, model, trainer, progress)
-            _maybe_save_best(cfg, trainer, stats)
+        if (_should_validate(cfg, task, trainer.step, epoch, end_of_epoch=True)
+                and trainer.step != last_val_step):
+            run_validation()
         if epoch % cfg.checkpoint.save_interval == 0:
             with jax.profiler.TraceAnnotation("checkpoint_save"):
                 save(trainer.step)
@@ -190,11 +206,45 @@ def main(argv: Optional[list] = None) -> int:
 _BEST_METRIC = {"value": None}
 
 
-def _maybe_save_best(cfg, trainer, stats):
+def _should_validate(cfg, task, step: int, epoch: int,
+                     end_of_epoch: bool) -> bool:
+    """ref train.py:345-358 do_validate: epoch-interval at epoch ends,
+    every ``validate_interval_updates`` updates mid-epoch, and alongside
+    mid-epoch interval saves; all gated on validate_after_updates."""
+    ds = cfg.dataset
+    if not cfg.task.valid_data or ds.disable_validation:
+        return False
+    if step < ds.validate_after_updates:
+        return False
+    if end_of_epoch:
+        return epoch % ds.validate_interval == 0
+    if (cfg.checkpoint.save_interval_updates
+            and step % cfg.checkpoint.save_interval_updates == 0):
+        return True
+    return bool(ds.validate_interval_updates
+                and step % ds.validate_interval_updates == 0)
+
+
+def _eval_params_source(cfg, task, trainer):
+    """The parameter tree validation should score: the EMA shadow when one
+    is kept and the task consumes it (ref trainer.py:962-966 passes the
+    EMA model into valid_step; the classification finetunes evaluate and
+    best-export EMA weights), raw train params otherwise."""
+    if trainer.ema is not None and getattr(task, "uses_ema",
+                                           cfg.ema.ema_eval):
+        return trainer.ema.params()
+    return trainer.params
+
+
+def _maybe_save_best(cfg, trainer, stats, eval_params=None):
     """Track best_checkpoint_metric and export best params
-    (ref checkpoint_utils.py save policy: best/last/interval)."""
+    (ref checkpoint_utils.py save policy: best/last/interval).  Exports
+    the SAME tree validation scored — the EMA shadow when EMA eval is on
+    (``stats["_eval_params"]`` carries it from validate)."""
     from ..utils import native_checkpoint as ckpt
 
+    if eval_params is None and stats:
+        eval_params = stats.get("_eval_params")
     key = cfg.checkpoint.best_checkpoint_metric
     if not key or not stats or key not in stats:
         return
@@ -208,17 +258,22 @@ def _maybe_save_best(cfg, trainer, stats):
         import os
 
         path = os.path.join(cfg.checkpoint.save_dir, "checkpoint_best.npz")
-        ckpt.save_params(path, trainer.params,
-                         metadata={key: float(value), "step": trainer.step})
+        ckpt.save_params(
+            path,
+            eval_params if eval_params is not None else trainer.params,
+            metadata={key: float(value), "step": trainer.step})
         logger.info("new best %s=%.4f -> %s", key, value, path)
 
 
 def validate(cfg, task, model, trainer, progress):
+    from ..metrics.metrics import fetch_once
     from ..trainer import cast_floats
 
-    params = trainer.params
+    source = _eval_params_source(cfg, task, trainer)
+    params = source
     if trainer.compute_dtype is not None:
         params = cast_floats(params, trainer.compute_dtype)
+    fetches_before = fetch_once.calls
     task.begin_valid_epoch(model, params)
     itr = task.get_batch_iterator("valid", cfg.dataset.batch_size_valid,
                                   ensure_equal_batch=False)
@@ -226,7 +281,11 @@ def validate(cfg, task, model, trainer, progress):
         task.valid_step(model, params, batch)
     stats = task.merge_results()
     stats = {k: v for k, v in stats.items() if isinstance(v, (int, float))}
+    # deferred-metrics audit (same as cli/evaluate.py): the whole pass
+    # should fetch O(1) times — per-batch fetches cost ~150 ms tunnel RTT
+    stats["eval_batched_fetches"] = fetch_once.calls - fetches_before
     progress.print(stats, trainer.step)
+    stats["_eval_params"] = source
     return stats
 
 

@@ -310,6 +310,14 @@ class DatasetConfig:
     batch_size_valid: int = 8
     fixed_validation_seed: int = 3407
     validate_interval: int = 1
+    # mid-epoch validation every N updates (ref train.py:349-353); 0 = off.
+    # At pretrain scale (200k updates over giant TSV epochs) epoch-end-only
+    # validation would mean best-checkpoint tracking never fires.
+    validate_interval_updates: int = 0
+    # suppress validation until this many updates (ref dataset config
+    # validate_after_updates)
+    validate_after_updates: int = 0
+    disable_validation: bool = False
     ensure_equal_batch: bool = True
 
 
@@ -369,6 +377,12 @@ class EMAConfig:
     ema_start_update: int = 0
     ema_update_freq: int = 1
     ema_fp32: bool = True
+    # validate with (and export best checkpoints from) the EMA shadow —
+    # the reference passes the EMA model into valid_step when the task
+    # uses it (ref trainer.py:962-966) and its classification finetunes
+    # evaluate EMA weights (one_peace_vision/classification/main_ft.py
+    # model_ema_eval); tasks may override via a ``uses_ema`` attribute
+    ema_eval: bool = True
 
 
 @dataclass

@@ -216,10 +216,16 @@ class Trainer:
                     self.ema.step(self.params, self.step, skipped)
             return metrics
 
-    def valid_step(self, batch, criterion=None):
+    def valid_step(self, batch, criterion=None, fetch: bool = False):
         """Jitted validation step, cached per (criterion, batch-shape)
         bucket — the 40-layer model must never dispatch op-by-op on TPU
-        (same rationale as the task eval loops' jit_eval)."""
+        (same rationale as the task eval loops' jit_eval).
+
+        Returns DEVICE metric scalars by default: converting per batch
+        costs a ~150 ms tunnel RTT each on axon, so accumulate the device
+        dicts and fetch ONCE at the end of the pass
+        (``metrics.fetch_once``).  ``fetch=True`` restores the eager
+        float dict for interactive use."""
         criterion = criterion or self.criterion
         batch = jax.tree.map(jnp.asarray, batch)
         batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
@@ -242,7 +248,9 @@ class Trainer:
 
             self._valid_fns[key] = vfn
         metrics = self._valid_fns[key](self.params, batch)
-        return {k: float(v) for k, v in metrics.items()}
+        if fetch:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
 
     # ------------------------------------------------------------------
 

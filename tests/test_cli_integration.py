@@ -101,6 +101,45 @@ def test_image_classify_task_with_mixup(tmp_path):
     np.testing.assert_allclose(batch["target"].sum(1), 1.0, rtol=1e-5)
 
 
+def test_mid_epoch_validation_fires(corpus, tmp_path, monkeypatch):
+    """dataset.validate_interval_updates fires validation mid-epoch at
+    the configured update interval (ref train.py:349-353), without a
+    duplicate at the epoch boundary, and every validation pass is
+    deferred-fetch (O(1) host fetches)."""
+    import one_peace_tpu.cli.train as train_mod
+
+    root, tsv, valid_json = corpus
+    calls = []
+    real_validate = train_mod.validate
+
+    def spy(cfg, task, model, trainer, progress):
+        stats = real_validate(cfg, task, model, trainer, progress)
+        calls.append((trainer.step, stats["eval_batched_fetches"]))
+        return stats
+
+    monkeypatch.setattr(train_mod, "validate", spy)
+    # 32-row train TSV (the 8-image corpus repeated with fresh ids) so
+    # batch_size=8 gives 4 updates per epoch on the 8-device mesh
+    rows = tsv.read_text().strip().split("\n")
+    big = [rows[0]]
+    for rep in range(4):
+        for r in rows[1:]:
+            i, rest = r.split("\t", 1)
+            big.append(f"{int(i) + 8 * rep}\t{rest}")
+    big_tsv = tmp_path / "train32.tsv"
+    big_tsv.write_text("\n".join(big) + "\n")
+    ov = _overrides(root, big_tsv, valid_json) + [
+        f"task.valid_data={tsv}",
+        f"checkpoint.save_dir={tmp_path}/ckpts",
+        "optimization.max_update=4",      # 4 updates = exactly one epoch
+        "dataset.validate_interval_updates=2",
+    ]
+    assert train_mod.main(ov) == 0
+    steps = [s for s, _ in calls]
+    assert steps == [2, 4], steps  # mid-epoch at 2; no double-fire at 4
+    assert all(f <= 2 for _, f in calls), calls
+
+
 def test_train_cli_profiler_capture(corpus, tmp_path):
     """common.profile_dir captures a jax.profiler trace over the
     [profile_start, profile_stop) update window."""

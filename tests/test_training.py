@@ -318,7 +318,11 @@ def test_train_step_with_shard_map_pallas_attention(monkeypatch):
 
 def test_valid_step_jitted_and_bucketed(trained):
     """valid_step compiles once per batch-shape bucket and matches the
-    training criterion's metrics."""
+    training criterion's metrics.  The default return is DEVICE scalars
+    (deferred fetch — per-batch conversion costs a tunnel RTT on axon);
+    fetch=True restores eager floats."""
+    import jax
+
     cfg, trainer, _ = trained
     rs = np.random.RandomState(1)
     batch = {
@@ -326,6 +330,10 @@ def test_valid_step_jitted_and_bucketed(trained):
         "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
     }
     m1 = trainer.valid_step(batch)
+    assert all(isinstance(v, jax.Array) for v in m1.values()), {
+        k: type(v) for k, v in m1.items()}
+    mf = trainer.valid_step(batch, fetch=True)
+    assert isinstance(mf["loss"], float)
     assert np.isfinite(m1["loss"])
     n_fns = len(trainer._valid_fns)
     m2 = trainer.valid_step(batch)  # same bucket: no new compile
@@ -442,3 +450,62 @@ def test_freeze_finetune_updates_traced_window():
     enc_unfrozen = np.asarray(jax.tree.leaves(
         trainer.params["encoder_wrapper"])[0])
     assert not np.allclose(enc0, enc_unfrozen)
+
+
+def test_ema_eval_source_and_best_export(tmp_path):
+    """When cfg.ema.store_ema, validation scores the EMA shadow and
+    checkpoint_best exports the SAME (EMA) tree — the reference passes the
+    EMA model into valid_step (ref trainer.py:962-966) and best-exports
+    EMA weights in the classification finetunes (main_ft.py model_ema_eval).
+    cfg.ema.ema_eval=false (or task.uses_ema=False) restores raw params."""
+    import jax
+
+    from one_peace_tpu.cli.train import (_BEST_METRIC, _eval_params_source,
+                                         _maybe_save_best)
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+    from one_peace_tpu.utils import native_checkpoint as ckpt
+
+    cfg = _tiny_framework_cfg()
+    cfg.ema.store_ema = True
+    cfg.ema.ema_decay = 0.5  # large step so shadow visibly lags params
+    cfg.checkpoint.save_dir = str(tmp_path)
+    cfg.checkpoint.best_checkpoint_metric = "r_mean"
+    model = OnePeaceRetrievalModel(cfg.model)
+    trainer = Trainer(cfg, model, build_criterion(cfg.criterion))
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (16, 8)),
+        "src_images": rs.randn(16, 3, 32, 32).astype(np.float32),
+    }
+    for _ in range(3):
+        trainer.train_step(batch)
+
+    path = ["encoder_wrapper", "fusion", "layers", "text_ffn", "wi_0", "w"]
+
+    def leaf(tree):
+        for k in path:
+            tree = tree[k]
+        return np.asarray(tree, np.float32)
+
+    class Task:  # no uses_ema attribute -> cfg.ema.ema_eval decides
+        pass
+
+    src = _eval_params_source(cfg, Task(), trainer)
+    np.testing.assert_allclose(leaf(src), leaf(trainer.ema.shadow))
+    assert not np.allclose(leaf(src), leaf(trainer.params))
+
+    _BEST_METRIC["value"] = None
+    _maybe_save_best(cfg, trainer, {"r_mean": 1.0, "_eval_params": src})
+    saved = ckpt.load_params(str(tmp_path / "checkpoint_best.npz"))
+    np.testing.assert_allclose(leaf(saved), leaf(trainer.ema.shadow),
+                               rtol=1e-6)
+
+    cfg.ema.ema_eval = False
+    assert _eval_params_source(cfg, Task(), trainer) is trainer.params
+
+    cfg.ema.ema_eval = True
+    task = Task()
+    task.uses_ema = False  # task override beats the config default
+    assert _eval_params_source(cfg, task, trainer) is trainer.params
