@@ -238,6 +238,14 @@ class TaskConfig:
     # _base_/models/onepeace.py:23 average_clips='prob')
     video_test_clips: int = 1
     video_test_three_crop: bool = False
+    # temporal sampling: dense contiguous clips (SampleFrames clip_len=T
+    # frame_interval=4, the recipe family — ref onepeace_k400_frame32.py
+    # :20-31) or TSN-style "segment"; train aug: "rrc" (RandomResizedCrop
+    # + ColorJitter, the recipe) or legacy "scale_jitter"
+    video_sampling: str = "dense"
+    video_frame_interval: int = 4
+    video_train_aug: str = "rrc"
+    video_color_jitter: bool = True
     # detection trunk structure (ref ViTDet window pattern) + proposer
     window_size: int = 16
     global_period: int = 4
@@ -257,6 +265,11 @@ class TaskConfig:
     # reference's "ms" headline numbers)
     seg_eval_protocol: str = "whole"
     seg_eval_stride: int = 512  # slide stride (ref test_cfg stride=512)
+    # whole-protocol prediction rule: bilinearly upsample logits to label
+    # resolution before argmax (mmseg-exact, costs a (B, H, W, C) fp32
+    # volume on device) vs nearest-upsampling the stride-4 argmax
+    # (memory-light); delta measured in PARITY.md
+    seg_eval_logits_upsample: bool = False
     seg_ms_ratios: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
 
 
@@ -272,6 +285,16 @@ class CriterionConfig:
     dcl_al_text_alpha: float = 0.5
     dcl_al_audio_alpha: float = 0.5
     dcl_logit_scale: float = 2.5
+    # detection: RPN objectness sampling — 'balanced' (static reweighting,
+    # the shipped substitution) or 'subsample' (detectron2's literal
+    # 256-anchor random sample as static weights); equivalence measured in
+    # PARITY.md (examples/parity_harness.py)
+    rpn_sampler: str = "balanced"
+    # segmentation (UperNet path): where the pixel CE is computed —
+    # 'stride' (labels subsampled to the stride-4 logit raster) or 'full'
+    # (logits bilinearly upsampled to label resolution, mmseg-exact);
+    # delta measured in PARITY.md
+    seg_loss_at: str = "stride"
 
 
 @dataclass

@@ -16,9 +16,11 @@ apps, re-designed for static-shape TPU batches:
   ``reduce_zero_label`` relabeling (0 -> ignore, k -> k-1).
 - :class:`RawframeVideoDataset` — mmaction2 rawframes layout
   (``ann.txt`` lines ``rel_dir num_frames label``; frames
-  ``img_00001.jpg``…), segment-based frame sampling (ref
-  video/configs/_base_/datasets: SampleFrames), per-clip spatial
-  augmentation shared across frames.
+  ``img_00001.jpg``…), dense contiguous clip sampling
+  (SampleFrames clip_len=T frame_interval=4, loop-padded — the 88.1
+  recipe, ref video/configs/recognition/onepeace_k400_frame32.py:20-31)
+  with RandomResizedCrop + ColorJitter train aug; TSN-style segment
+  sampling and a lighter scale-jitter aug stay available as opt-ins.
 
 All three emit fixed-shape numpy samples; ``vision_collate`` just stacks
 (no padding is needed at collate time).  Images are normalized with the
@@ -158,9 +160,11 @@ class CocoDetectionDataset:
         self.num_classes = len(cat_ids)
         self.anns_by_image: Dict[int, List[Dict]] = {}
         for ann in coco.get("annotations", []):
-            if ann.get("iscrowd", 0):
-                continue  # crowd regions are excluded (no ignore-region
-                # support in the static GT layout)
+            if ann.get("iscrowd", 0) and split == "train":
+                # training filters crowd instances out of the targets
+                # (detectron2 dataset_mapper keeps iscrowd == 0 only);
+                # eval keeps them as IGNORE regions for the COCO protocol
+                continue
             self.anns_by_image.setdefault(ann["image_id"], []).append(ann)
 
     def __len__(self) -> int:
@@ -201,6 +205,8 @@ class CocoDetectionDataset:
         gt_boxes = np.zeros((m, 4), np.float32)
         gt_labels = np.zeros((m,), np.int32)
         gt_valid = np.zeros((m,), bool)
+        gt_crowd = np.zeros((m,), bool)
+        gt_areas = np.zeros((m,), np.float32)
         ms = size // self.mask_stride
         gt_masks = np.zeros((m, ms, ms), np.uint8) if self.with_masks else None
 
@@ -220,6 +226,10 @@ class CocoDetectionDataset:
             gt_boxes[slot] = box
             gt_labels[slot] = self.cat_to_label.get(ann["category_id"], 0)
             gt_valid[slot] = True
+            gt_crowd[slot] = bool(ann.get("iscrowd", 0))
+            # COCO area buckets use the annotation's segment area in
+            # ORIGINAL px^2 (pycocotools params.areaRng)
+            gt_areas[slot] = float(ann.get("area", bw * bh))
             if gt_masks is not None:
                 seg = ann.get("segmentation")
                 if isinstance(seg, dict):
@@ -250,6 +260,11 @@ class CocoDetectionDataset:
             "gt_boxes": gt_boxes,
             "gt_labels": gt_labels,
             "gt_valid": gt_valid,
+            "gt_crowd": gt_crowd,
+            "gt_areas": gt_areas,
+            # uniform resize factor original -> input px (eval rescales
+            # areas back to original px^2 for the COCO size buckets)
+            "im_scale": np.float32(f),
         }
         if gt_masks is not None:
             sample["gt_masks"] = gt_masks
@@ -352,13 +367,56 @@ class Ade20kSegDataset:
 # ---------------------------------------------------------------------------
 
 
+def _jitter_brightness_contrast_saturation(arr: np.ndarray, b: float,
+                                           c: float, s: float) -> np.ndarray:
+    """torchvision adjust_brightness/contrast/saturation semantics on a
+    (H, W, 3) uint8 array, applied in that fixed order (mmaction2's
+    ColorJitter order)."""
+    x = arr.astype(np.float32) * b
+    x = np.clip(x, 0, 255)
+    gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    x = x * c + float(gray.mean()) * (1.0 - c)        # toward mean gray
+    x = np.clip(x, 0, 255)
+    gray = x @ np.asarray([0.299, 0.587, 0.114], np.float32)
+    x = x * s + gray[..., None] * (1.0 - s)           # toward per-px gray
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
+def _jitter_hue(arr: np.ndarray, h: float) -> np.ndarray:
+    """torchvision adjust_hue (PIL path): RGB -> HSV, shift the uint8 hue
+    channel by h*255 with wraparound, back to RGB."""
+    if h == 0.0:
+        return arr
+    from PIL import Image
+
+    hsv = np.asarray(Image.fromarray(arr).convert("HSV")).copy()
+    hsv[..., 0] = (hsv[..., 0].astype(np.int16)
+                   + int(round(h * 255.0))) % 256
+    return np.asarray(Image.fromarray(hsv, "HSV").convert("RGB"))
+
+
 class RawframeVideoDataset:
     """mmaction2 rawframes-format video dataset: an annotation file with
     lines ``rel_dir num_frames label`` and per-clip frame directories
-    (``img_00001.jpg``…).  Segment-based sampling: the clip is split into
-    ``num_frames`` equal segments; train draws a random frame per segment,
-    eval takes the segment centers (ref video/configs/_base_: SampleFrames
-    clip_len=1 num_clips=T, mmaction2 semantics).
+    (``img_00001.jpg``…).
+
+    Temporal sampling (``sampling``):
+    - ``dense`` (default) — one contiguous window of ``num_frames`` frames
+      ``frame_interval`` apart, random start for train, evenly-spread
+      centered starts for test clips, short videos loop-padded by modular
+      indexing: mmaction2 ``SampleFrames(clip_len=32, frame_interval=4,
+      num_clips=1, out_of_bound_opt='loop')``, the reference's 88.1 recipe
+      (ref video/configs/recognition/onepeace_k400_frame32.py:20-31,56).
+    - ``segment`` (opt-in) — TSN-style: split into ``num_frames`` equal
+      segments, one frame per segment (random / center).
+
+    Train spatial augmentation (``train_aug``):
+    - ``rrc`` (default) — short side to S, RandomResizedCrop (area
+      0.08-1.0, aspect 3/4-4/3), resize to SxS, flip 0.5, per-clip
+      ColorJitter b/c/s 0.5 + hue 0.1 (the recipe's train_pipeline,
+      ref onepeace_k400_frame32.py:20-31).
+    - ``scale_jitter`` (opt-in) — short-side jitter 1.0-1.25 + random crop
+      + flip (the lighter legacy pipeline).
 
     Each sample:
       src_videos (T, 3, S, S) float32   CLIP-normalized
@@ -369,7 +427,11 @@ class RawframeVideoDataset:
                  num_frames: int = 16, image_size: int = 256,
                  frame_tmpl: str = "img_{:05d}.jpg", start_index: int = 1,
                  test_num_clips: int = 1, test_three_crop: bool = False,
+                 sampling: str = "dense", frame_interval: int = 4,
+                 train_aug: str = "rrc", color_jitter: bool = True,
                  seed: int = 3407):
+        assert sampling in ("dense", "segment"), sampling
+        assert train_aug in ("rrc", "scale_jitter"), train_aug
         self.split = split
         self.data_root = data_root
         self.num_frames = num_frames
@@ -378,6 +440,10 @@ class RawframeVideoDataset:
         self.start_index = start_index
         self.test_num_clips = test_num_clips
         self.test_three_crop = test_three_crop
+        self.sampling = sampling
+        self.frame_interval = frame_interval
+        self.train_aug = train_aug
+        self.color_jitter = color_jitter
         self.rng = np.random.RandomState(seed)
         self.clips: List[Tuple[str, int, int]] = []
         with open(ann_file) as fh:
@@ -392,18 +458,57 @@ class RawframeVideoDataset:
     def _frame_indices(self, total: int, clip_idx: int = 0,
                        num_clips: int = 1) -> np.ndarray:
         t = self.num_frames
+        if self.sampling == "dense":
+            # mmaction2 SampleFrames(clip_len=t, frame_interval=I):
+            # _get_train_clips / _get_test_clips with num_clips starts,
+            # then out_of_bound_opt='loop' modular indexing
+            ori = t * self.frame_interval
+            if self.split == "train":
+                avg = (total - ori + 1) // num_clips
+                if avg > 0:
+                    off = clip_idx * avg + int(self.rng.randint(avg))
+                elif total > max(num_clips, ori):
+                    off = int(np.sort(self.rng.randint(
+                        total - ori + 1, size=num_clips))[clip_idx])
+                elif avg == 0:
+                    off = int(round(clip_idx * (total - ori + 1)
+                                    / num_clips))
+                else:
+                    off = 0
+            else:
+                avg = (total - ori + 1) / float(num_clips)
+                off = (int(clip_idx * avg + avg / 2.0)
+                       if total > ori - 1 else 0)
+            idx = off + np.arange(t, dtype=np.int64) * self.frame_interval
+            return np.mod(idx, total)
         seg = total / t
         if self.split == "train":
             offs = self.rng.uniform(0, seg, t)
         else:
             # multi-clip testing: clip i samples offset fraction
             # (i + 0.5)/num_clips of every segment, spreading the test
-            # clips across the video (ref SampleFrames num_clips=3
-            # test_mode, expressed in this dataset's segment sampling);
-            # num_clips=1 reduces to the segment centers
+            # clips across the video; num_clips=1 -> the segment centers
             offs = np.full(t, seg * (clip_idx + 0.5) / num_clips)
         idx = (np.arange(t) * seg + offs).astype(np.int64)
         return np.clip(idx, 0, total - 1)
+
+    def _rrc_box(self, h: int, w: int) -> Tuple[int, int, int, int]:
+        """mmaction2 RandomResizedCrop.get_crop_bbox: 10 attempts at a
+        random-area (0.08-1.0), random-log-aspect (3/4-4/3) box, falling
+        back to the largest centered square."""
+        area = h * w
+        for _ in range(10):
+            target = self.rng.uniform(0.08, 1.0) * area
+            ar = float(np.exp(self.rng.uniform(np.log(3.0 / 4.0),
+                                               np.log(4.0 / 3.0))))
+            cw = int(round(np.sqrt(target * ar)))
+            ch = int(round(np.sqrt(target / ar)))
+            if cw <= w and ch <= h:
+                x0 = int(self.rng.randint(0, w - cw + 1))
+                y0 = int(self.rng.randint(0, h - ch + 1))
+                return x0, y0, cw, ch
+        cs = min(h, w)
+        return (w - cs) // 2, (h - cs) // 2, cs, cs
 
     def _load_short_side(self, rel_dir: str, fi: int):
         """Decode one frame and resize its short side to image_size."""
@@ -457,7 +562,40 @@ class RawframeVideoDataset:
             }
         size = self.image_size
         rng = self.rng
-        # one spatial transform per clip, shared by all frames
+
+        if self.split == "train" and self.train_aug == "rrc":
+            # recipe train pipeline (ref onepeace_k400_frame32.py:20-31):
+            # Resize(-1, S) -> RandomResizedCrop -> Resize(SxS) -> Flip
+            # -> ColorJitter, one transform per clip shared by all frames
+            pils = [self._load_short_side(rel_dir, fi)
+                    for fi in self._frame_indices(total)]
+            w, h = pils[0].size
+            x0, y0, cw, ch = self._rrc_box(h, w)
+            flip = rng.rand() < 0.5
+            jit = None
+            if self.color_jitter:
+                # mmaction2 ColorJitter defaults b/c/s=0.5, hue=0.1
+                jit = (rng.uniform(0.5, 1.5), rng.uniform(0.5, 1.5),
+                       rng.uniform(0.5, 1.5), rng.uniform(-0.1, 0.1))
+            frames = []
+            for img in pils:
+                img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize(
+                    (size, size), Image.BILINEAR)
+                if flip:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                arr = np.asarray(img)
+                if jit is not None:
+                    arr = _jitter_hue(_jitter_brightness_contrast_saturation(
+                        arr, *jit[:3]), jit[3])
+                frames.append(normalize_image(arr))
+            return {
+                "id": index,
+                "src_videos": np.stack(frames).astype(np.float32),
+                "target": np.int32(label),
+            }
+
+        # eval single-view / legacy scale_jitter train: one spatial
+        # transform per clip, shared by all frames
         if self.split == "train":
             scale = rng.uniform(1.0, 1.25)
             flip = rng.rand() < 0.5

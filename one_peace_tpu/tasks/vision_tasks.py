@@ -127,15 +127,47 @@ class CocoDetectionTask(VisionTaskBase):
             attn_impl=enc.attn_impl)
 
     def valid_step(self, model, params, batch):
+        """Box AND instance-mask (segm) scoring under the COCO protocol:
+        mask probabilities paste into image coordinates (detectron2
+        paste_masks_in_image semantics, at the GT raster stride), crowd
+        regions flow through as ignore, and areas rescale to original
+        px^2 via the per-image resize factor (ref det COCOEvaluator
+        pair, lazyconfig_train_net.py:36-40)."""
+        from ..vision.mask_paste import paste_masks
+
         results = model.detect(params, batch["src_images"],
                                max_proposals=self.cfg.max_proposals)
         gt_boxes = np.asarray(batch["gt_boxes"])
         gt_labels = np.asarray(batch["gt_labels"])
         gt_valid = np.asarray(batch["gt_valid"])
+        gt_crowd = np.asarray(batch.get(
+            "gt_crowd", np.zeros(gt_valid.shape, bool)))
+        gt_areas = batch.get("gt_areas")
+        scales = np.asarray(batch.get(
+            "im_scale", np.ones(len(results), np.float32)), np.float32)
+        gt_masks = (np.asarray(batch["gt_masks"])
+                    if "gt_masks" in batch and self.cfg.with_masks else None)
+        size, stride = self.cfg.image_size, self.cfg.mask_stride
         for b, det in enumerate(results):
             v = gt_valid[b]
+            f = float(scales[b])
+            kw = {
+                "gt_crowd": gt_crowd[b][v],
+                "area_scale": 1.0 / (f * f),
+            }
+            if gt_areas is not None:
+                kw["gt_areas"] = np.asarray(gt_areas[b])[v]
+            if gt_masks is not None:
+                # an image with zero detections still records an (0, G)
+                # segm entry — its unrecalled GTs must count
+                dm = det.get("masks", np.zeros((0, 1, 1), np.float32))
+                kw["det_masks"] = paste_masks(
+                    dm, det["boxes"][:len(dm)], size // stride,
+                    size // stride, stride=stride)
+                kw["gt_masks"] = gt_masks[b][v]
+                kw["mask_area_scale"] = (stride * stride) / (f * f)
             self.metric.compute(det["boxes"], det["scores"], det["labels"],
-                                gt_boxes[b][v], gt_labels[b][v])
+                                gt_boxes[b][v], gt_labels[b][v], **kw)
 
 
 @TASKS.register("ade20k_seg")
@@ -214,16 +246,30 @@ class Ade20kSegTask(VisionTaskBase):
             cm = np.bincount(idx, minlength=c * c).reshape(c, c)
             self.metric.update_confusion(cm)
             return
+        import jax
         import jax.numpy as jnp
 
         c = self.metric.num_classes
         ign = self.metric.ignore_index
 
+        upsample_logits = getattr(self.cfg, "seg_eval_logits_upsample",
+                                  False)
+
         def conf(p, x, t):
-            pred = jnp.argmax(model.logits(p, x), axis=-1).astype(jnp.int32)
-            stride = t.shape[-1] // pred.shape[-1]
-            pred = jnp.repeat(jnp.repeat(pred, stride, 1), stride, 2)
-            pred = pred[:, : t.shape[1], : t.shape[2]]
+            logits = model.logits(p, x)
+            if upsample_logits:
+                # mmseg-exact: resize class scores to label resolution
+                # (align_corners=False bilinear) then argmax
+                logits = jax.image.resize(
+                    logits.astype(jnp.float32),
+                    (t.shape[0], t.shape[1], t.shape[2], logits.shape[-1]),
+                    method="bilinear")
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            else:
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                stride = t.shape[-1] // pred.shape[-1]
+                pred = jnp.repeat(jnp.repeat(pred, stride, 1), stride, 2)
+                pred = pred[:, : t.shape[1], : t.shape[2]]
             valid = t != ign
             safe_t = jnp.where(valid, t, 0)
             idx = jnp.where(valid,
@@ -231,7 +277,7 @@ class Ade20kSegTask(VisionTaskBase):
             cm = jnp.bincount(idx.reshape(-1), length=c * c + 1)[: c * c]
             return cm.reshape(c, c)
 
-        fn = self._jit("seg_conf", conf)
+        fn = self._jit(f"seg_conf_up{int(upsample_logits)}", conf)
         cm = fn(params, batch["src_images"], jnp.asarray(batch["target"]))
         self._cm_dev = cm if self._cm_dev is None else self._cm_dev + cm
 
@@ -266,7 +312,11 @@ class K400VideoTask(VisionTaskBase):
             split, ann, root, num_frames=c.num_frames,
             image_size=c.image_size, frame_tmpl=c.frame_tmpl,
             test_num_clips=c.video_test_clips,
-            test_three_crop=c.video_test_three_crop)
+            test_three_crop=c.video_test_three_crop,
+            sampling=c.video_sampling,
+            frame_interval=c.video_frame_interval,
+            train_aug=c.video_train_aug,
+            color_jitter=c.video_color_jitter)
 
     def build_model(self, cfg):
         from ..vision.zoo import OnePeaceVideoClassifier

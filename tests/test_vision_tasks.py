@@ -440,3 +440,73 @@ def test_video_multiview_testing(video_corpus):
         task.valid_step(model, params, batch)
     stats = task.merge_results()
     assert stats["count"] == 8 and 0.0 <= stats["accuracy"] <= 100.0
+
+
+def test_dense_frame_sampling_mmaction2_semantics(video_corpus):
+    """Dense SampleFrames(clip_len=T, frame_interval=I) index arithmetic
+    pinned against hand-computed mmaction2 semantics (_get_train_clips /
+    _get_test_clips + out_of_bound_opt='loop'), the reference recipe's
+    sampler (ref onepeace_k400_frame32.py:20-31,56)."""
+    from one_peace_tpu.data.vision_datasets import RawframeVideoDataset
+
+    _, ann, frames_root = video_corpus
+
+    # test mode, num_clips=1: ori=32*4=128; total=300 -> avg=(300-128+1)=173,
+    # offset=int(173/2)=86 -> 86 + 4*arange(32)
+    val = RawframeVideoDataset("valid", ann, frames_root, num_frames=32,
+                               image_size=32, sampling="dense",
+                               frame_interval=4)
+    np.testing.assert_array_equal(val._frame_indices(300),
+                                  86 + 4 * np.arange(32))
+    # short video loop-pads by modular indexing: total=100 < ori=128
+    # -> offset 0, indices 4*arange(32) mod 100
+    np.testing.assert_array_equal(val._frame_indices(100),
+                                  (4 * np.arange(32)) % 100)
+    # multi-clip test spread: total=500, num_clips=3 ->
+    # avg=(500-128+1)/3=124.333, offsets=int(i*avg + avg/2)=[62,186,310]
+    for i, off in enumerate((62, 186, 310)):
+        np.testing.assert_array_equal(val._frame_indices(500, i, 3),
+                                      off + 4 * np.arange(32))
+
+    # train: random start within [0, total-ori+1)
+    tr = RawframeVideoDataset("train", ann, frames_root, num_frames=32,
+                              image_size=32, sampling="dense",
+                              frame_interval=4)
+    for _ in range(10):
+        idx = tr._frame_indices(300)
+        d = np.diff(idx)
+        assert (d == 4).all()            # contiguous window, stride 4
+        assert 0 <= idx[0] <= 172
+    # short training video: offset 0, loop-padded
+    np.testing.assert_array_equal(tr._frame_indices(100),
+                                  (4 * np.arange(32)) % 100)
+
+
+def test_video_train_aug_rrc_and_color_jitter(video_corpus):
+    """The dense-recipe train pipeline produces valid clips and the
+    ColorJitter actually perturbs pixel statistics; shapes stay static."""
+    from one_peace_tpu.data.vision_datasets import (
+        RawframeVideoDataset, _jitter_brightness_contrast_saturation,
+        _jitter_hue)
+
+    _, ann, frames_root = video_corpus
+    ds = RawframeVideoDataset("train", ann, frames_root, num_frames=4,
+                              image_size=32, sampling="dense",
+                              frame_interval=1, train_aug="rrc")
+    s = ds[0]
+    assert s["src_videos"].shape == (4, 3, 32, 32)
+    assert np.isfinite(s["src_videos"]).all()
+
+    # jitter math: identity factors are a no-op; brightness 0.5 halves
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (8, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        _jitter_brightness_contrast_saturation(img, 1.0, 1.0, 1.0), img)
+    np.testing.assert_array_equal(
+        _jitter_brightness_contrast_saturation(img, 0.5, 1.0, 1.0),
+        np.clip(img.astype(np.float32) * 0.5, 0, 255).astype(np.uint8))
+    np.testing.assert_array_equal(_jitter_hue(img, 0.0), img)
+    assert not np.array_equal(_jitter_hue(img, 0.1), img)
+    # saturation 0 collapses to grayscale (all channels equal)
+    g = _jitter_brightness_contrast_saturation(img, 1.0, 1.0, 0.0)
+    assert (np.abs(g[..., 0].astype(int) - g[..., 1].astype(int)) <= 1).all()
