@@ -148,15 +148,39 @@ def main():
               f"(A100 denominator {A100_EST_ITEMS_PER_S} items/s is an "
               f"estimate; audit via TFLOP/s above)", file=sys.stderr)
 
-    # second reported number: opt-in int8-FFN serving path (+23% on the
-    # proxy, max emb err 2.4e-4 — numerics-opt-in, so it rides alongside
-    # the parity headline instead of replacing it)
+    # per-branch comparators, same batches and same fence discipline as
+    # the mixed loop: (a) a bf16 image-only number the int8 loop below is
+    # directly comparable to (the r3 "+23%" had no like-for-like
+    # comparator in the artifact), (b) an audio-only number that
+    # localizes per-branch TFLOP/s (an audio clip costs ~2x an image)
+    t0 = time.time()
+    outs_i = [embed_images(params, imgs) for _ in range(STEPS)]
+    fetch(outs_i[-1])
+    dt_img = time.time() - t0
+    bf16_img = STEPS * IMG_BATCH / dt_img
+    t0 = time.time()
+    outs_a = [embed_audio(params, wav, pad) for _ in range(STEPS)]
+    fetch(outs_a[-1])
+    dt_aud = time.time() - t0
+    aud_per_s = STEPS * AUD_BATCH / dt_aud
+    if img_flops and aud_flops:
+        print(f"# per-branch: image {STEPS*img_flops/dt_img/1e12:.1f} "
+              f"TFLOP/s ({bf16_img:.1f} img/s), audio "
+              f"{STEPS*aud_flops/dt_aud/1e12:.1f} TFLOP/s "
+              f"({aud_per_s:.1f} clip/s)", file=sys.stderr)
+
+    # second reported number: opt-in int8-FFN serving path (numerics-
+    # opt-in, so it rides alongside the parity headline instead of
+    # replacing it); BENCH_INT8_ATTN=1 additionally quantizes the
+    # self-attention projections (quantize='ffn_attn')
     int8_value = None
     if os.environ.get("BENCH_INT8", "1") != "0":
         try:
             from one_peace_tpu.ops.quant import quantize_ffn_params
 
-            params_q = quantize_ffn_params(params)
+            include_attn = os.environ.get("BENCH_INT8_ATTN", "0") == "1"
+            params_q = quantize_ffn_params(params,
+                                           include_attn=include_attn)
 
             @jax.jit
             def embed_images_q(p, x):
@@ -168,8 +192,10 @@ def main():
             fetch(outs_q[-1])
             dtq = time.time() - t0
             int8_value = STEPS * IMG_BATCH / dtq
-            print(f"# int8-FFN serving (opt-in): {int8_value:.1f} img/s/chip "
-                  f"vs bf16 image branch in-mix", file=sys.stderr)
+            print(f"# int8-{'FFN+attn' if include_attn else 'FFN'} serving "
+                  f"(opt-in): {int8_value:.1f} img/s/chip vs bf16 "
+                  f"image-only {bf16_img:.1f} "
+                  f"({100*(int8_value/bf16_img-1):+.1f}%)", file=sys.stderr)
         except Exception as e:  # int8 path must never sink the headline
             print(f"# int8 branch skipped: {e}", file=sys.stderr)
 
@@ -183,6 +209,8 @@ def main():
         record["tflops"] = round(tflops, 2)
     if mfu is not None:
         record["mfu"] = round(mfu, 4)
+    record["bf16_img_per_s"] = round(bf16_img, 3)
+    record["aud_clip_per_s"] = round(aud_per_s, 3)
     if int8_value is not None:
         record["int8_img_per_s"] = round(int8_value, 3)
     print(json.dumps(record))

@@ -33,6 +33,7 @@ class DetectionCriterion:
 
     def __init__(self, cfg: CriterionConfig):
         self.cfg = cfg
+        self.rpn_sampler = getattr(cfg, "rpn_sampler", "balanced")
 
     def __call__(self, model, params, batch, rng=None, deterministic=False):
         from ..vision.det_train import detector_training_loss
@@ -48,7 +49,8 @@ class DetectionCriterion:
             model, params, batch["src_images"], batch["gt_boxes"],
             batch["gt_labels"], batch["gt_valid"],
             gt_masks=gt_masks, rng=rng,
-            mask_stride=mask_stride if gt_masks is not None else 1)
+            mask_stride=mask_stride if gt_masks is not None else 1,
+            rpn_sampler=self.rpn_sampler)
         return loss, metrics
 
 
@@ -65,6 +67,7 @@ class SegmentationCriterion:
     def __init__(self, cfg: CriterionConfig, ignore_index: int = 255):
         self.label_smoothing = cfg.label_smoothing
         self.ignore_index = ignore_index
+        self.loss_at = getattr(cfg, "seg_loss_at", "stride")
 
     def _mask2former(self, model, params, batch, rng, deterministic):
         from ..vision.mask2former_loss import mask2former_loss
@@ -108,10 +111,21 @@ class SegmentationCriterion:
                                      deterministic)
         logits = model.logits(params, batch["src_images"])  # (B, h, w, C)
         target = batch["target"]  # (B, H, W)
-        stride = target.shape[-1] // logits.shape[-2]
-        off = stride // 2
-        tgt = target[:, off::stride, off::stride]  # nearest label sample
-        tgt = tgt[:, : logits.shape[1], : logits.shape[2]]
+        if self.loss_at == "full":
+            # mmseg-exact: bilinearly upsample logits to label resolution
+            # (resize align_corners=False) and compute CE there — costs a
+            # (B, H, W, C) fp32 volume; 'stride' instead subsamples labels
+            # to the logit raster (delta measured in PARITY.md)
+            b, h, w = target.shape
+            logits = jax.image.resize(
+                logits.astype(jnp.float32), (b, h, w, logits.shape[-1]),
+                method="bilinear")
+            tgt = target
+        else:
+            stride = target.shape[-1] // logits.shape[-2]
+            off = stride // 2
+            tgt = target[:, off::stride, off::stride]  # nearest label sample
+            tgt = tgt[:, : logits.shape[1], : logits.shape[2]]
 
         c = logits.shape[-1]
         valid = (tgt != self.ignore_index)

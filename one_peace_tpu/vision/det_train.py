@@ -160,7 +160,8 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
                            gt_valid, gt_masks: Optional[jnp.ndarray] = None,
                            rng: Optional[jax.Array] = None,
                            proposal_jitter: float = 0.1,
-                           mask_stride: int = 1):
+                           mask_stride: int = 1,
+                           rpn_sampler: str = "balanced"):
     """Full Cascade-Mask-R-CNN-style training objective (jittable).
 
     images (B, 3, H, W); gt_boxes (B, M, 4); gt_labels (B, M);
@@ -183,7 +184,8 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
         from .rpn import rpn_loss
 
         loss_fcos, metrics = rpn_loss(detector.proposer, params["proposer"],
-                                      feats, gt_boxes, gt_labels, gt_valid)
+                                      feats, gt_boxes, gt_labels, gt_valid,
+                                      sampler=rpn_sampler, rng=rng)
     else:
         loss_fcos, metrics = fcos_loss(detector.proposer, params["proposer"],
                                        feats, gt_boxes, gt_labels, gt_valid)

@@ -195,15 +195,42 @@ def _box_iou(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-6)
 
 
+def _sample_weights(pos, neg, rng, batch_size: int = 256,
+                    pos_fraction: float = 0.5):
+    """detectron2 subsample_labels as a STATIC-shape weight vector: pick
+    min(pos_count, 128) random positives, fill to 256 with random
+    negatives, weight 1 each (the baseline arm of the balanced-
+    reweighting equivalence study — see examples/parity_harness.py)."""
+    kp, kn = jax.random.split(rng)
+    n = pos.shape[0]
+
+    def ranks(mask, key):
+        # rank of each masked anchor among the masked set, random order
+        u = jax.random.uniform(key, (n,)) + (~mask) * 10.0
+        return jnp.argsort(jnp.argsort(u))
+
+    n_pos = jnp.minimum(pos.sum(), int(batch_size * pos_fraction))
+    sel_p = pos & (ranks(pos, kp) < n_pos)
+    n_neg = jnp.minimum(neg.sum(), batch_size - n_pos)
+    sel_n = neg & (ranks(neg, kn) < n_neg)
+    return sel_p.astype(jnp.float32), sel_n.astype(jnp.float32)
+
+
 def rpn_loss(head: RPNHead, params, feats: List[jnp.ndarray], gt_boxes,
-             gt_labels, gt_valid) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+             gt_labels, gt_valid, sampler: str = "balanced",
+             rng=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """RPN objectness + box losses (detectron2 rpn.py losses with balanced
     re-weighting replacing the 256-anchor sampler).
 
     feats: per-level NHWC maps; gt_boxes (B, M, 4); gt_valid (B, M) bool.
     gt_labels is accepted for signature parity with fcos_loss (the RPN is
     class-agnostic).
-    """
+
+    sampler: 'balanced' (the shipped static substitution: pos and neg
+    each carry half the objectness weight, normalized per count) or
+    'subsample' (detectron2's literal 256-anchor 1:1 random sample,
+    static-shape via weight vectors; needs ``rng``).  The two reach the
+    same AP on the synthetic equivalence study (PARITY.md)."""
     outs = head(params, feats)
     anchors = jnp.asarray(head.all_anchors([o.shape[1:3] for o, _ in outs]))
     b = outs[0][0].shape[0]
@@ -212,7 +239,10 @@ def rpn_loss(head: RPNHead, params, feats: List[jnp.ndarray], gt_boxes,
     delta_flat = jnp.concatenate(
         [d.reshape(b, -1, 4) for _, d in outs], axis=1)  # (B, N, 4)
 
-    def per_image(obj, deltas, gtb, gtv):
+    if sampler == "subsample" and rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def per_image(obj, deltas, gtb, gtv, key):
         iou = _box_iou(anchors, gtb)  # (N, M)
         iou = jnp.where(gtv[None, :], iou, -1.0)
         best_iou = iou.max(-1)
@@ -229,23 +259,33 @@ def rpn_loss(head: RPNHead, params, feats: List[jnp.ndarray], gt_boxes,
         neg = neg & ~pos
 
         posf = pos.astype(jnp.float32)
-        negf = neg.astype(jnp.float32)
-        npos = jnp.maximum(posf.sum(), 1.0)
-        nneg = jnp.maximum(negf.sum(), 1.0)
         logits = obj.astype(jnp.float32)
         bce = jnp.maximum(logits, 0) - logits * posf + jnp.log1p(
             jnp.exp(-jnp.abs(logits)))
-        # balanced: pos and neg each carry half the weight of a 1:1 sample
-        obj_l = 0.5 * (bce * posf).sum() / npos + \
-            0.5 * (bce * negf).sum() / nneg
+        if sampler == "subsample":
+            # the literal detectron2 sampler: 256 anchors, <=128 pos,
+            # normalizer = batch_size_per_image (rpn.py losses)
+            wp, wn = _sample_weights(pos, neg, key)
+            obj_l = (bce * (wp + wn)).sum() / 256.0
+            box_w, box_n = wp, 256.0
+        else:
+            negf = neg.astype(jnp.float32)
+            npos = jnp.maximum(posf.sum(), 1.0)
+            nneg = jnp.maximum(negf.sum(), 1.0)
+            # balanced: pos and neg each carry half a 1:1 sample's weight
+            obj_l = 0.5 * (bce * posf).sum() / npos + \
+                0.5 * (bce * negf).sum() / nneg
+            box_w, box_n = posf, jnp.maximum(posf.sum(), 1.0)
 
         tgt = boxes_to_deltas(anchors, gtb[best_gt])
         box_l = (jnp.abs(deltas.astype(jnp.float32) - tgt).sum(-1)
-                 * posf).sum() / npos
+                 * box_w).sum() / box_n
         return obj_l, box_l, posf.sum()
 
+    keys = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0),
+                            b)
     obj_l, box_l, npos = jax.vmap(per_image)(obj_flat, delta_flat,
-                                             gt_boxes, gt_valid)
+                                             gt_boxes, gt_valid, keys)
     loss = obj_l.mean() + box_l.mean()
     return loss, {"rpn_obj": obj_l.mean(), "rpn_box": box_l.mean(),
                   "rpn_pos": npos.mean()}

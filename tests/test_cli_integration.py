@@ -140,6 +140,60 @@ def test_mid_epoch_validation_fires(corpus, tmp_path, monkeypatch):
     assert all(f <= 2 for _, f in calls), calls
 
 
+def test_resume_with_midepoch_validation_and_best_tracking(
+        corpus, tmp_path, monkeypatch):
+    """Kill-and-resume with the round-4 actors in the loop: interval
+    saves + mid-epoch validation + best-metric export interact; the
+    resumed run restores the best metric from the bundle and keeps
+    firing validation on the update grid (VERDICT r3 #8)."""
+    import one_peace_tpu.cli.train as train_mod
+
+    root, tsv, valid_json = corpus
+    rows = tsv.read_text().strip().split("\n")
+    big = [rows[0]]
+    for rep in range(4):
+        for r in rows[1:]:
+            i, rest = r.split("\t", 1)
+            big.append(f"{int(i) + 8 * rep}\t{rest}")
+    big_tsv = tmp_path / "train32.tsv"
+    big_tsv.write_text("\n".join(big) + "\n")
+
+    calls = []
+    real_validate = train_mod.validate
+
+    def spy(cfg, task, model, trainer, progress):
+        calls.append((trainer.step, train_mod._BEST_METRIC["value"]))
+        return real_validate(cfg, task, model, trainer, progress)
+
+    monkeypatch.setattr(train_mod, "validate", spy)
+    base = _overrides(root, big_tsv, valid_json) + [
+        f"task.valid_data={tsv}",
+        f"checkpoint.save_dir={tmp_path}/ckpts",
+        "checkpoint.save_interval_updates=2",
+        "checkpoint.best_checkpoint_metric=r_mean",
+        "dataset.validate_interval_updates=2",
+    ]
+    # run 1: 4 updates (one epoch), validations at 2 and 4, saves after
+    assert train_mod.main(base + ["optimization.max_update=4"]) == 0
+    assert [s for s, _ in calls] == [2, 4]
+    assert calls[0][1] is None          # nothing tracked before step 2
+    assert calls[1][1] is not None      # step-2 validation registered
+    ckpt_dir = os.path.join(str(tmp_path), "ckpts")
+    assert os.path.exists(os.path.join(ckpt_dir, "checkpoint_best.npz"))
+    names = {n for n in os.listdir(ckpt_dir) if n.startswith("step_")}
+    assert names >= {"step_2", "step_4"}, names
+
+    # run 2 (preemption resume): picks up at step 4, best metric restored
+    # from the bundle BEFORE any new validation, grid continues at 6, 8.
+    # (The resumed-and-already-finished epoch revalidates once at its end
+    # — step 4 — since the in-memory dedupe doesn't persist; harmless and
+    # matches the reference's resume behavior.)
+    calls.clear()
+    assert train_mod.main(base + ["optimization.max_update=8"]) == 0
+    assert [s for s, _ in calls] == [4, 6, 8]
+    assert calls[0][1] is not None, "best metric lost across resume"
+
+
 def test_train_cli_profiler_capture(corpus, tmp_path):
     """common.profile_dir captures a jax.profiler trace over the
     [profile_start, profile_stop) update window."""

@@ -78,46 +78,50 @@ def test_detection_ap_multihost_merge(monkeypatch):
     """A sharded DetectionAP (each "process" scoring half the images) must
     reproduce the single-host AP after merge: simulate a 2-process world by
     monkeypatching process_count and gather_ragged to append the second
-    shard's packed arrays in call order."""
+    shard's packed per-image records in call order (incl. mask IoU
+    matrices for segm AP)."""
     from one_peace_tpu.metrics import metrics as M
-
-    rs = np.random.RandomState(7)
 
     def fake_images(n_img, seed):
         r = np.random.RandomState(seed)
-        dets, gts = [], []
+        imgs = []
         for _ in range(n_img):
             nd, ng = r.randint(0, 5), r.randint(0, 4)
             db = np.sort(r.rand(nd, 2, 2) * 50, axis=1).reshape(nd, 4)
             gb = np.sort(r.rand(ng, 2, 2) * 50, axis=1).reshape(ng, 4)
-            dets.append({"boxes": db, "scores": r.rand(nd),
-                         "labels": r.randint(0, 3, nd)})
-            gts.append({"boxes": gb, "labels": r.randint(0, 3, ng)})
-        return dets, gts
+            imgs.append({
+                "det": (db, r.rand(nd), r.randint(0, 3, nd),
+                        r.rand(nd, 8, 8) > 0.5),
+                "gt": (gb, r.randint(0, 3, ng), r.rand(ng, 8, 8) > 0.5,
+                       r.rand(ng) < 0.2),
+            })
+        return imgs
 
-    d0, g0 = fake_images(5, 1)
-    d1, g1 = fake_images(4, 2)
+    all_imgs = fake_images(5, 1) + fake_images(4, 2)
+
+    def feed(metric, imgs):
+        for im in imgs:
+            db, ds, dl, dm = im["det"]
+            gb, gl, gm, gc = im["gt"]
+            metric.compute(db, ds, dl, gb, gl, det_masks=dm, gt_masks=gm,
+                           gt_crowd=gc)
 
     # single-host reference over the union
     ref = M.DetectionAP(num_classes=3)
     ref.initialize()
-    for d, g in zip(d0 + d1, g0 + g1):
-        ref.compute(d["boxes"], d["scores"], d["labels"], g["boxes"], g["labels"])
+    feed(ref, all_imgs)
     ref_stats = ref.merge_results()
+    assert "ap_mask" in ref_stats
 
     # shard 0 view with the gather faked to append shard 1's arrays
     ap = M.DetectionAP(num_classes=3)
     ap.initialize()
-    for d, g in zip(d0, g0):
-        ap.compute(d["boxes"], d["scores"], d["labels"], g["boxes"], g["labels"])
-
-    other = M._pack_ragged_images(
-        [{k: np.asarray(v, np.float64 if k != "labels" else np.int64)
-          for k, v in d.items()} for d in d1],
-        [{k: np.asarray(v, np.float64 if k != "labels" else np.int64)
-          for k, v in g.items()} for g in g1])
-    order = ["det_counts", "det_boxes", "det_scores", "det_labels",
-             "gt_counts", "gt_boxes", "gt_labels"]
+    feed(ap, all_imgs[:5])
+    shard1 = M.DetectionAP(num_classes=3)
+    shard1.initialize()
+    feed(shard1, all_imgs[5:])
+    other = M._pack_ragged_images(shard1.images)
+    order = list(other.keys())
     calls = {"i": 0}
 
     from one_peace_tpu.metrics import gather as G
@@ -132,5 +136,5 @@ def test_detection_ap_multihost_merge(monkeypatch):
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
     monkeypatch.setattr(G, "gather_ragged", fake_gather)
     stats = ap.merge_results()
-    assert calls["i"] == 7
+    assert calls["i"] == len(order)
     assert stats == ref_stats
