@@ -268,8 +268,9 @@ class TaskConfig:
     # whole-protocol prediction rule: bilinearly upsample logits to label
     # resolution before argmax (mmseg-exact, costs a (B, H, W, C) fp32
     # volume on device) vs nearest-upsampling the stride-4 argmax
-    # (memory-light); delta measured in PARITY.md
-    seg_eval_logits_upsample: bool = False
+    # (memory-light opt-out).  Default mmseg-exact: measured +1.8-3.1
+    # mIoU on a fine-structure corpus (PARITY.md)
+    seg_eval_logits_upsample: bool = True
     seg_ms_ratios: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
 
 
