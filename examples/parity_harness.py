@@ -232,7 +232,13 @@ def seg_study(n_steps=60):
 
 
 if __name__ == "__main__":
-    which = set(sys.argv[1:]) or {"det", "seg"}
+    args = sys.argv[1:]
+    if "--seed" in args:
+        i = args.index("--seed")
+        seed = int(args[i + 1])
+        del args[i:i + 2]
+        _COMMON[-1] = f"common.seed={seed}"
+    which = set(args) or {"det", "seg"}
     if "seg" in which:
         seg_study()
     if "det" in which:
