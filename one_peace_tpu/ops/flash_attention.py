@@ -28,6 +28,17 @@ Design (v2 — transpose-free, lane-packed):
   batch-innermost grid** (the (H, L, L) cotangent the rel-pos tables need).
   Shapes whose backward would overflow VMEM fall back to the XLA einsum
   vjp (still exact, just materializing).
+- arrays are passed UNPADDED (v3): block shapes keep the 128-lane grain
+  but the L axis of q/k/v/bias/out stays at the logical length, so Mosaic's
+  partial-block DMA replaces the three XLA ``jnp.pad`` copies per layer
+  (measured 2.4 ms/layer = ~6% of the 4B image branch at L=257->384) and
+  the out-slice copy.  Mosaic fills the out-of-bounds block region with
+  UNINITIALIZED VMEM (measured on chip, not zeros), so when L is not a
+  multiple of 128 the kernels mask in-kernel: key columns >= L get -inf
+  scores before softmax, and every operand row >= L is zeroed before it
+  can meet a zero weight (0 * NaN = NaN on the MXU).  The masks are
+  static-shape selects that compile away entirely when L is aligned.
+  ``ONE_PEACE_ATTN_PAD=1`` restores the v2 pad-outside behavior.
 """
 
 from __future__ import annotations
@@ -58,6 +69,10 @@ INTERPRET = bool(int(os.environ.get("ONE_PEACE_PALLAS_INTERPRET", "0")))
 # parity default is fp32 (ref softmax is fp32: multihead_attention.py:112).
 _SOFTMAX_BF16 = os.environ.get("ONE_PEACE_SOFTMAX", "fp32") == "bf16"
 
+# Legacy v2 behavior: pad L to the 128 grain with XLA jnp.pad outside the
+# kernel instead of letting Mosaic DMA partial blocks (escape hatch only).
+_FORCE_PAD = os.environ.get("ONE_PEACE_ATTN_PAD", "0") == "1"
+
 
 def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
                        bias_block_bytes: int = 0) -> int:
@@ -82,9 +97,10 @@ def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
 
 
 def _pick_blk_q(lpad: int) -> int:
-    if lpad <= 512:
-        return lpad
-    return max(blk for blk in (512, 384, 256, 128) if lpad % blk == 0)
+    """Largest q-tile <= 512 rows; the grid uses ceil(lpad/blk) tiles and
+    Mosaic handles the final overhanging block (v2 required blk | lpad,
+    which degraded e.g. lpad=640 to five 128-row tiles)."""
+    return lpad if lpad <= 512 else 512
 
 
 def _pad_inputs(q, k, v, rel_bias, key_bias):
@@ -129,9 +145,16 @@ def _bias_spec(bias_batched: bool, has_bias: bool, m: int, blk_q: int,
                         memory_space=pltpu.VMEM)
 
 
-def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
+def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, l, blk_q, lpad):
+    masked = lpad != l  # OOB block region is uninitialized VMEM, not zeros
+
     def kernel(q_ref, k_ref, v_ref, bias_ref, kb_ref, o_ref):
         row = kb_ref[pl.ds(pl.program_id(2), 1), :].astype(jnp.float32)
+        if masked:
+            col_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (blk_q, lpad), 1) < l
+            vrow_ok = jax.lax.broadcasted_iota(
+                jnp.int32, (lpad, dh), 0) < l
         outs = []
         for i in range(m):
             sl = slice(i * dh, (i + 1) * dh)
@@ -144,6 +167,10 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
                 bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
                 s = s + bias_i.astype(jnp.float32)
             s = s + row  # (1, Lk) broadcasts over query rows
+            if masked:
+                # key cols >= l carry garbage scores (incl. possible NaN
+                # from garbage bias/kb reads): overwrite, don't add
+                s = jnp.where(col_ok, s, NEG_INF)
             mx = jnp.max(s, axis=-1, keepdims=True)
             if _SOFTMAX_BF16:
                 e = jnp.exp((s - mx).astype(jnp.bfloat16))
@@ -151,8 +178,13 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
             else:
                 e = jnp.exp(s - mx)
                 p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            v = v_ref[0][:, sl]
+            if masked:
+                # p is exactly 0 at cols >= l, but 0 * NaN = NaN on the
+                # MXU and garbage v rows may hold NaN bit patterns
+                v = jnp.where(vrow_ok, v, jnp.zeros_like(v))
             outs.append(jax.lax.dot_general(
-                p, v_ref[0][:, sl], (((1,), (0,)), ((), ())),
+                p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))
         out = outs[0] if m == 1 else jnp.concatenate(outs, axis=-1)
         o_ref[0] = out.astype(o_ref.dtype)
@@ -161,9 +193,12 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched):
 
 
 def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
-    """q/k/v: (B, Lpad, H*Dh); rel_bias (H, Lp, Lp) | (B, H, Lp, Lp) | None;
-    key_bias (B, Lpad) fp32 additive.  Returns (B, Lpad, H*Dh)."""
-    b, lpad, hdim = q.shape
+    """q/k/v: (B, L, H*Dh) UNPADDED; rel_bias (H, L, L) | (B, H, L, L) |
+    None; key_bias (B, L) fp32 additive.  Returns (B, L, H*Dh).  Block
+    shapes stay at the 128-lane grain (lpad); Mosaic DMAs the partial
+    blocks and the kernel masks the garbage fill when lpad != L."""
+    b, l, hdim = q.shape
+    lpad = -(-l // 128) * 128
     dh = hdim // heads
     blk_q = _pick_blk_q(lpad)
     m = _heads_per_program(heads, dh, target_lanes=384,
@@ -179,8 +214,9 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched),
-        grid=(heads // m, lpad // blk_q, b),
+        _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched,
+                         l, blk_q, lpad),
+        grid=(heads // m, -(-lpad // blk_q), b),
         in_specs=[
             qkv_spec(blk_q),
             qkv_spec(lpad),
@@ -192,17 +228,27 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
         out_specs=pl.BlockSpec((1, blk_q, m * dh),
                                lambda hi, qi, bi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
         interpret=INTERPRET,
     )(q, k, v, bias_arg, key_bias)
     return out
 
 
-def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched):
+def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad):
+    masked = lpad != l  # OOB block region is uninitialized VMEM, not zeros
+
     def kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, kb_ref,
                dq_ref, dk_ref, dv_ref, dbias_ref):
         bi = pl.program_id(1)
         row = kb_ref[pl.ds(bi, 1), :].astype(jnp.float32)
+        if masked:
+            # every operand row >= l is garbage and meets a zero weight
+            # somewhere downstream (0 * NaN = NaN): zero them at load,
+            # and keep p exactly zero outside the (l, l) valid square so
+            # every dq/dk/dv/dbias contraction sees clean operands
+            row_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, dh), 0) < l
+            scol_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, lpad), 1) < l
+            srow_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, lpad), 0) < l
         dqs, dks, dvs, dss = [], [], [], []
         for i in range(m):
             sl = slice(i * dh, (i + 1) * dh)
@@ -210,6 +256,12 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched):
             k = k_ref[0][:, sl]
             v = v_ref[0][:, sl]
             g = g_ref[0][:, sl]
+            if masked:
+                zero = jnp.zeros_like(q)
+                q = jnp.where(row_ok, q, zero)
+                k = jnp.where(row_ok, k, zero)
+                v = jnp.where(row_ok, v, zero)
+                g = jnp.where(row_ok, g, zero)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scaling
@@ -217,9 +269,15 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched):
                 bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
                 s = s + bias_i.astype(jnp.float32)
             s = s + row
+            if masked:
+                s = jnp.where(scol_ok, s, NEG_INF)
             mx = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - mx)
             p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+            if masked:
+                # rows >= l saw garbage bias values at cols < l: p32 can
+                # be non-finite there even with zeroed q
+                p32 = jnp.where(srow_ok, p32, 0.0)
             p = p32.astype(v_ref.dtype)
             # dv = p^T @ g
             dvs.append(jax.lax.dot_general(
@@ -270,7 +328,8 @@ def _bwd_vmem_bytes(b, lpad, m, dh, esize, bias_batched, has_bias):
 
 
 def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
-    b, lpad, hdim = q.shape
+    b, l, hdim = q.shape
+    lpad = -(-l // 128) * 128
     dh = hdim // heads
     m = _heads_per_program(heads, dh)
     has_bias = rel_bias is not None
@@ -280,9 +339,9 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
     qkv_spec = pl.BlockSpec((1, lpad, m * dh), lambda hi, bi: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
     out_shapes = [
-        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
-        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
-        jax.ShapeDtypeStruct((b, lpad, hdim), q.dtype),
+        jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
+        jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
+        jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
     ]
     out_specs = [qkv_spec, qkv_spec, qkv_spec]
     if has_bias:
@@ -294,7 +353,7 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
                                       memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
-        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched),
+        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad),
         grid=(heads // m, b),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec, qkv_spec,
@@ -339,7 +398,8 @@ def _core_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
 
 def _core_bwd(scaling, heads, res, g):
     q, k, v, rel_bias, key_bias = res
-    b, lpad, hdim = q.shape
+    b, l, hdim = q.shape
+    lpad = -(-l // 128) * 128  # block geometry (and VMEM) is grain-padded
     m = _heads_per_program(heads, hdim // heads)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
@@ -387,7 +447,11 @@ def flash_attention(
         key_bias = jnp.zeros((b, l), jnp.float32)
     if rel_bias is not None:
         rel_bias = rel_bias.astype(jnp.float32)
-    q3, k3, v3, rel_bias, key_bias, lpad = _pad_inputs(
-        q3, k3, v3, rel_bias, key_bias)
+    if _FORCE_PAD:  # legacy v2 escape hatch: XLA pad copies outside
+        q3, k3, v3, rel_bias, key_bias, lpad = _pad_inputs(
+            q3, k3, v3, rel_bias, key_bias)
+        out = _flash_attention_core(q3, k3, v3, rel_bias, key_bias,
+                                    scaling, h)
+        return out[:, :l].reshape(b, l, h, d)
     out = _flash_attention_core(q3, k3, v3, rel_bias, key_bias, scaling, h)
-    return out[:, :l].reshape(b, l, h, d)
+    return out.reshape(b, l, h, d)

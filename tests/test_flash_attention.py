@@ -57,6 +57,60 @@ def test_batched_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("l", [128, 257, 570])
+def test_unpadded_l_matches_xla(l):
+    """v3 passes UNPADDED arrays: l=128 exercises the mask-free aligned
+    path, 257 the single-tile partial block (image branch), 570 the
+    ceil-grid multi-tile overhang (blk_q=512, 2 q-tiles over lpad=640)."""
+    b, h, d = 1, 2, 16
+    q = _rand((b, l, h, d), 0)
+    k = _rand((b, l, h, d), 1)
+    v = _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3)
+    mask = np.zeros((b, l), bool)
+    mask[0, -5:] = True
+    mask = jnp.asarray(mask)
+    scaling = d**-0.5
+    ref = multihead_attention(q, k, v, bias, mask, scaling, impl="xla")
+    out = fa.flash_attention(q, k, v, bias, mask, scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unpadded_l_gradients_match():
+    """Backward through the partial-block path (l=137, lpad=256)."""
+    b, l, h, d = 1, 137, 2, 8
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3)
+    scaling = d**-0.5
+
+    def loss_flash(q, k, v, bias):
+        return jnp.sum(fa.flash_attention(q, k, v, bias, None, scaling) ** 2)
+
+    def loss_xla(q, k, v, bias):
+        return jnp.sum(multihead_attention(q, k, v, bias, None, scaling,
+                                           impl="xla") ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_force_pad_escape_hatch(monkeypatch):
+    """ONE_PEACE_ATTN_PAD=1 restores the v2 pad-outside path, same math."""
+    monkeypatch.setattr(fa, "_FORCE_PAD", True)
+    b, l, h, d = 1, 37, 2, 16
+    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
+    bias = _rand((h, l, l), 3)
+    scaling = d**-0.5
+    ref = multihead_attention(q, k, v, bias, None, scaling, impl="xla")
+    out = fa.flash_attention(q, k, v, bias, None, scaling)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_gradients_match():
     b, l, h, d = 1, 16, 2, 8
     q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
