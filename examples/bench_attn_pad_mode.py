@@ -78,8 +78,9 @@ def check_parity(l, h=24, d=64, b=4):
     # over the VMEM budget both fall back to the XLA einsum vjp, where the
     # two padded geometries (lpad vs l) reassociate floats differently.
     lpad = -(-l // 128) * 128
+    lsub = fa._pick_lsub(l, lpad)
     m = fa._heads_per_program(h, d)
-    pallas_bwd = fa._bwd_vmem_bytes(b, lpad, m, d, 4, False,
+    pallas_bwd = fa._bwd_vmem_bytes(b, lsub, lpad, m, d, 4, False,
                                     True) <= fa._BWD_VMEM_BUDGET
     for name, a, b_ in zip("q k v bias".split(), g1, g2):
         e = float(np.abs(np.asarray(a) - np.asarray(b_)).max())
@@ -93,11 +94,12 @@ def check_parity(l, h=24, d=64, b=4):
                 f"bwd fallback parity FAILED at L={l} d{name}"
 
 
-def time_proxy(attn_impl, force_pad):
+def time_proxy(attn_impl, force_pad, coarse_q=False):
     from one_peace_tpu.core.config import ModelConfig
     from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
 
     fa._FORCE_PAD = force_pad
+    fa._COARSE_Q = coarse_q
     cfg = ModelConfig(head_type="val")
     cfg.encoder.layers = 8
     cfg.encoder.attn_impl = attn_impl
@@ -123,6 +125,8 @@ def time_proxy(attn_impl, force_pad):
     label = {("pallas", False): "pallas-v3-unpadded",
              ("pallas", True): "pallas-v2-pad",
              ("xla", False): "xla"}[(attn_impl, force_pad)]
+    if coarse_q and attn_impl == "pallas":
+        label += "-coarseQ"
     rate = STEPS * BATCH / dt
     print(f"{label}: {rate:.1f} img/s", flush=True)
     return rate
@@ -136,10 +140,12 @@ def main():
     if "--parity-only" in sys.argv:
         return
     r3 = time_proxy("pallas", False)
-    r2 = time_proxy("pallas", True)
+    rc = time_proxy("pallas", False, coarse_q=True)
+    r2 = time_proxy("pallas", True, coarse_q=True)
     rx = time_proxy("xla", False)
-    print(f"v3 vs v2: {100*(r3/r2-1):+.1f}%  v3 vs xla: {100*(r3/rx-1):+.1f}%",
-          flush=True)
+    print(f"fineQ vs coarseQ: {100*(r3/rc-1):+.1f}%  "
+          f"v3 vs v2: {100*(r3/r2-1):+.1f}%  "
+          f"v3 vs xla: {100*(r3/rx-1):+.1f}%", flush=True)
 
 
 if __name__ == "__main__":

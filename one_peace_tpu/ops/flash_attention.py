@@ -73,6 +73,9 @@ _SOFTMAX_BF16 = os.environ.get("ONE_PEACE_SOFTMAX", "fp32") == "bf16"
 # kernel instead of letting Mosaic DMA partial blocks (escape hatch only).
 _FORCE_PAD = os.environ.get("ONE_PEACE_ATTN_PAD", "0") == "1"
 
+# v3.0 q-tile rule (128-grain q rows) for A/B measurement.
+_COARSE_Q = os.environ.get("ONE_PEACE_ATTN_COARSE_Q", "0") == "1"
+
 
 def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
                        bias_block_bytes: int = 0) -> int:
@@ -96,11 +99,17 @@ def _heads_per_program(h: int, dh: int, target_lanes: int = 128,
     return min(valid, key=lambda m: abs(m * dh - target_lanes))
 
 
-def _pick_blk_q(lpad: int) -> int:
-    """Largest q-tile <= 512 rows; the grid uses ceil(lpad/blk) tiles and
-    Mosaic handles the final overhanging block (v2 required blk | lpad,
-    which degraded e.g. lpad=640 to five 128-row tiles)."""
-    return lpad if lpad <= 512 else 512
+def _pick_blk_q(l: int, lpad: int) -> int:
+    """q-tile rows: <= 512, at the 16-row bf16 sublane grain.  Only the
+    lane (key) axis of the score tile needs the 128 grain; q rows are the
+    MXU *streaming* dimension, so an L=257 image branch runs 272-row
+    q-tiles instead of 384 — 29% less score/pv streaming.  Garbage rows
+    in an overhanging final tile stay row-confined through the row-wise
+    softmax and are never written back (out block is partial).
+    ONE_PEACE_ATTN_COARSE_Q=1 restores the 128-grain v3.0 rule."""
+    if _COARSE_Q:
+        return lpad if lpad <= 512 else 512
+    return min(512, -(-l // 16) * 16)
 
 
 def _pad_inputs(q, k, v, rel_bias, key_bias):
@@ -200,7 +209,7 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
     b, l, hdim = q.shape
     lpad = -(-l // 128) * 128
     dh = hdim // heads
-    blk_q = _pick_blk_q(lpad)
+    blk_q = _pick_blk_q(l, lpad)
     m = _heads_per_program(heads, dh, target_lanes=384,
                            bias_block_bytes=blk_q * lpad * 4 * 2)
     has_bias = rel_bias is not None
@@ -216,7 +225,7 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
     out = pl.pallas_call(
         _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched,
                          l, blk_q, lpad),
-        grid=(heads // m, -(-lpad // blk_q), b),
+        grid=(heads // m, -(-l // blk_q), b),
         in_specs=[
             qkv_spec(blk_q),
             qkv_spec(lpad),
@@ -234,21 +243,26 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
     return out
 
 
-def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad):
-    masked = lpad != l  # OOB block region is uninitialized VMEM, not zeros
+def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lsub, lpad):
+    # OOB block fill is uninitialized VMEM, not zeros.  q/g rows live on
+    # the lsub (16-row) grain, k/v rows on the lpad (128-lane) grain —
+    # s/p/ds are (lsub, lpad) so every matmul streams only ceil16(L) q rows.
+    masked_q = lsub != l
+    masked_kv = lpad != l
 
     def kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, kb_ref,
                dq_ref, dk_ref, dv_ref, dbias_ref):
         bi = pl.program_id(1)
         row = kb_ref[pl.ds(bi, 1), :].astype(jnp.float32)
-        if masked:
-            # every operand row >= l is garbage and meets a zero weight
-            # somewhere downstream (0 * NaN = NaN): zero them at load,
-            # and keep p exactly zero outside the (l, l) valid square so
-            # every dq/dk/dv/dbias contraction sees clean operands
+        if masked_q:
+            # garbage q/g rows meet a zero weight somewhere downstream
+            # (0 * NaN = NaN): zero them at load, and keep p exactly zero
+            # at rows >= l (they saw garbage bias at valid cols)
+            qrow_ok = jax.lax.broadcasted_iota(jnp.int32, (lsub, dh), 0) < l
+            srow_ok = jax.lax.broadcasted_iota(jnp.int32, (lsub, lpad), 0) < l
+        if masked_kv:
             row_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, dh), 0) < l
-            scol_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, lpad), 1) < l
-            srow_ok = jax.lax.broadcasted_iota(jnp.int32, (lpad, lpad), 0) < l
+            scol_ok = jax.lax.broadcasted_iota(jnp.int32, (lsub, lpad), 1) < l
         dqs, dks, dvs, dss = [], [], [], []
         for i in range(m):
             sl = slice(i * dh, (i + 1) * dh)
@@ -256,12 +270,12 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad):
             k = k_ref[0][:, sl]
             v = v_ref[0][:, sl]
             g = g_ref[0][:, sl]
-            if masked:
-                zero = jnp.zeros_like(q)
-                q = jnp.where(row_ok, q, zero)
-                k = jnp.where(row_ok, k, zero)
-                v = jnp.where(row_ok, v, zero)
-                g = jnp.where(row_ok, g, zero)
+            if masked_q:
+                q = jnp.where(qrow_ok, q, jnp.zeros_like(q))
+                g = jnp.where(qrow_ok, g, jnp.zeros_like(g))
+            if masked_kv:
+                k = jnp.where(row_ok, k, jnp.zeros_like(k))
+                v = jnp.where(row_ok, v, jnp.zeros_like(v))
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scaling
@@ -269,12 +283,12 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad):
                 bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
                 s = s + bias_i.astype(jnp.float32)
             s = s + row
-            if masked:
+            if masked_kv:
                 s = jnp.where(scol_ok, s, NEG_INF)
             mx = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - mx)
             p32 = e / jnp.sum(e, axis=-1, keepdims=True)
-            if masked:
+            if masked_q:
                 # rows >= l saw garbage bias values at cols < l: p32 can
                 # be non-finite there even with zeroed q
                 p32 = jnp.where(srow_ok, p32, 0.0)
@@ -320,44 +334,60 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad):
     return kernel
 
 
-def _bwd_vmem_bytes(b, lpad, m, dh, esize, bias_batched, has_bias):
-    qkv = 8 * lpad * m * dh * esize * 2   # q,k,v,g + dq,dk,dv (double-buffered)
-    bias = (2 * m * lpad * lpad * 4) if has_bias else 0  # bias in + dbias out
-    transients = 4 * lpad * lpad * 4      # s/p32, dp, ds, stacked ds
+def _pick_lsub(l: int, lpad: int) -> int:
+    """q/g row extent for the bwd whole-L blocks: the 16-row bf16 sublane
+    grain (vs the 128 lane grain of the k/v axis).  Shrinks all four bwd
+    matmuls' q-extent and the (lsub, lpad) transients by up to 29% at the
+    image branch's L=257 (272 vs 384 rows)."""
+    if _COARSE_Q:
+        return lpad
+    return -(-l // 16) * 16
+
+
+def _bwd_vmem_bytes(b, lsub, lpad, m, dh, esize, bias_batched, has_bias):
+    # q,g + dq on the lsub grain; k,v + dk,dv on lpad (double-buffered,
+    # +1 lpad-array of slack mirrors the original conservative count)
+    qkv = (3 * lsub + 5 * lpad) * m * dh * esize * 2
+    bias = (2 * m * lsub * lpad * 4) if has_bias else 0  # bias in + dbias out
+    transients = 4 * lsub * lpad * 4      # s/p32, dp, ds, stacked ds
     return qkv + bias + transients + b * lpad * 4
 
 
 def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
     b, l, hdim = q.shape
     lpad = -(-l // 128) * 128
+    lsub = _pick_lsub(l, lpad)
     dh = hdim // heads
     m = _heads_per_program(heads, dh)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
     bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
 
-    qkv_spec = pl.BlockSpec((1, lpad, m * dh), lambda hi, bi: (bi, 0, hi),
-                            memory_space=pltpu.VMEM)
+    qg_spec = pl.BlockSpec((1, lsub, m * dh), lambda hi, bi: (bi, 0, hi),
+                           memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, lpad, m * dh), lambda hi, bi: (bi, 0, hi),
+                           memory_space=pltpu.VMEM)
     out_shapes = [
         jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
         jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
         jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
     ]
-    out_specs = [qkv_spec, qkv_spec, qkv_spec]
+    out_specs = [qg_spec, kv_spec, kv_spec]  # dq on lsub; dk, dv on lpad
     if has_bias:
         out_shapes.append(jax.ShapeDtypeStruct(rel_bias.shape, jnp.float32))
-        out_specs.append(_bias_spec(bias_batched, True, m, lpad, lpad, 2))
+        out_specs.append(_bias_spec(bias_batched, True, m, lsub, lpad, 2))
     else:
         out_shapes.append(jax.ShapeDtypeStruct((1, 8, 128), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 8, 128), lambda hi, bi: (0, 0, 0),
                                       memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
-        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lpad),
+        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched,
+                         l, lsub, lpad),
         grid=(heads // m, b),
         in_specs=[
-            qkv_spec, qkv_spec, qkv_spec, qkv_spec,
-            _bias_spec(bias_batched, has_bias, m, lpad, lpad, 2),
+            qg_spec, kv_spec, kv_spec, qg_spec,
+            _bias_spec(bias_batched, has_bias, m, lsub, lpad, 2),
             pl.BlockSpec((b, lpad), lambda hi, bi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -400,10 +430,11 @@ def _core_bwd(scaling, heads, res, g):
     q, k, v, rel_bias, key_bias = res
     b, l, hdim = q.shape
     lpad = -(-l // 128) * 128  # block geometry (and VMEM) is grain-padded
+    lsub = _pick_lsub(l, lpad)
     m = _heads_per_program(heads, hdim // heads)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
-    vmem = _bwd_vmem_bytes(b, lpad, m, hdim // heads, q.dtype.itemsize,
+    vmem = _bwd_vmem_bytes(b, lsub, lpad, m, hdim // heads, q.dtype.itemsize,
                            bias_batched, has_bias)
     if vmem <= _BWD_VMEM_BUDGET:
         dq, dk, dv, dbias = _flash_bwd(q, k, v, g, rel_bias, key_bias,

@@ -57,11 +57,13 @@ def test_batched_bias():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("l", [128, 257, 570])
+@pytest.mark.parametrize("l", [128, 257, 272, 570])
 def test_unpadded_l_matches_xla(l):
     """v3 passes UNPADDED arrays: l=128 exercises the mask-free aligned
-    path, 257 the single-tile partial block (image branch), 570 the
-    ceil-grid multi-tile overhang (blk_q=512, 2 q-tiles over lpad=640)."""
+    path, 257 the single-tile partial block (image branch), 272 the
+    16-aligned-but-not-128-aligned case (masked_kv without masked_q in
+    the bwd; q-tile exactly covers l), 570 the ceil-grid multi-tile
+    overhang (blk_q=512, 2 q-tiles over lpad=640)."""
     b, h, d = 1, 2, 16
     q = _rand((b, l, h, d), 0)
     k = _rand((b, l, h, d), 1)
