@@ -29,8 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
 from ..core.config import EncoderConfig
-from ..ops.attention import multihead_attention
+from ..ops.attention import multihead_attention, multihead_attention_packed
 from .components import (
     dropout,
     drop_path,
@@ -101,6 +103,20 @@ def init_encoder_layer(key, cfg: EncoderConfig, dtype=jnp.float32):
     return params
 
 
+# Fused projection dots: qkv as ONE (d, 3d) matmul and the GeGLU
+# wi_0|wi_1 pair as ONE (d, 2f) matmul — x is read from HBM once instead
+# of 3x/2x and the MXU sees one long dot instead of several short ones
+# (fewer ramp-up tails).  The Pallas attention reads the packed qkv
+# zero-copy (ops/flash_attention.py).  ONE_PEACE_FUSED_PROJ=1 enables;
+# default OFF until the on-chip gate (examples/bench_fused_proj.py:
+# bit-identity vs the separate-array kernel on real Mosaic partial
+# blocks + a proxy win) passes — interpret-mode CPU tests zero-fill OOB
+# and cannot catch DMA-offset bugs.  The weight layout in params is
+# UNCHANGED either way — the concat happens at trace time and is
+# hoisted/CSEd by XLA.
+_FUSED_PROJ = os.environ.get("ONE_PEACE_FUSED_PROJ", "0") != "0"
+
+
 def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
                deterministic, rng):
     """ref: multihead_attention.py:68-126 (fused-qkv xformers path semantics:
@@ -110,16 +126,27 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
     by ops.quant.quantize_ffn_params(include_attn=True) (serving mode)."""
     from ..ops.quant import is_quantized, quantized_linear
 
-    lin = quantized_linear if is_quantized(params["q_proj"]) else linear
     b, l, d = x.shape
     h = cfg.attention_heads
     hd = d // h
-    q = lin(params["q_proj"], x).reshape(b, l, h, hd)
-    k = lin(params["k_proj"], x).reshape(b, l, h, hd)
-    v = lin(params["v_proj"], x).reshape(b, l, h, hd)
-    attn = multihead_attention(
-        q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5, impl=cfg.attn_impl
-    )
+    if _FUSED_PROJ and not is_quantized(params["q_proj"]):
+        w = jnp.concatenate([params["q_proj"]["w"], params["k_proj"]["w"],
+                             params["v_proj"]["w"]], axis=1)
+        bias = jnp.concatenate([params["q_proj"]["b"],
+                                jnp.zeros_like(params["q_proj"]["b"]),
+                                params["v_proj"]["b"]])  # k_proj has no bias
+        qkv = x @ w + bias
+        attn = multihead_attention_packed(
+            qkv, rel_bias, key_padding_mask, scaling=hd**-0.5, heads=h,
+            impl=cfg.attn_impl)
+    else:
+        lin = quantized_linear if is_quantized(params["q_proj"]) else linear
+        q = lin(params["q_proj"], x).reshape(b, l, h, hd)
+        k = lin(params["k_proj"], x).reshape(b, l, h, hd)
+        v = lin(params["v_proj"], x).reshape(b, l, h, hd)
+        attn = multihead_attention(
+            q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5,
+            impl=cfg.attn_impl)
     attn = attn.reshape(b, l, d)
     if "c_attn" in params:
         attn = (attn.reshape(b, l, h, hd) * params["c_attn"][:, None]).reshape(b, l, d)
@@ -136,8 +163,16 @@ def _geglu_ffn(params, x, act_dropout, deterministic, rng):
     by ops.quant.quantize_ffn_params (serving mode)."""
     from ..ops.quant import is_quantized, quantized_linear
 
-    lin = quantized_linear if is_quantized(params["wi_0"]) else linear
-    y = gelu(lin(params["wi_0"], x)) * lin(params["wi_1"], x)
+    if _FUSED_PROJ and not is_quantized(params["wi_0"]):
+        # one (d, 2f) dot; the two halves feed the gelu*gate elementwise
+        # fusion as strided slices (wi_0/wi_1 have no bias)
+        f = params["wi_0"]["w"].shape[-1]
+        y2 = x @ jnp.concatenate([params["wi_0"]["w"],
+                                  params["wi_1"]["w"]], axis=1)
+        y = gelu(y2[..., :f]) * y2[..., f:]
+    else:
+        lin = quantized_linear if is_quantized(params["wi_0"]) else linear
+        y = gelu(lin(params["wi_0"], x)) * lin(params["wi_1"], x)
     y = dropout(rng, y, act_dropout, deterministic)
     if "ffn_ln" in params:
         y = layer_norm(params["ffn_ln"], y)
