@@ -213,7 +213,10 @@ def seg_study(n_steps=60):
         cfg = load_config(None, base + extra)
         task, model, trainer = _build(cfg, n_steps)
         losses = _train(task, trainer, cfg, n_steps)
-        # same trained model scored under BOTH eval rules
+        # same trained model scored under BOTH eval rules (set each arm
+        # explicitly — the config DEFAULT is the mmseg bilinear rule, so
+        # relying on it would score the first arm under the wrong rule)
+        task.cfg.seg_eval_logits_upsample = False
         stats_near = _eval(task, model, trainer)
         task.cfg.seg_eval_logits_upsample = True
         stats_bilin = _eval(task, model, trainer)

@@ -211,6 +211,11 @@ class CocoDetectionDataset:
         gt_masks = np.zeros((m, ms, ms), np.uint8) if self.with_masks else None
 
         slot = 0
+        # Real GTs take slots before crowd (ignore) regions: under the fixed
+        # max_boxes budget a crowd ann must never evict a scoreable instance
+        # (dropping a crowd region only forfeits its ignore effect; dropping a
+        # real GT silently deflates recall AND counts its match as an FP).
+        anns = sorted(anns, key=lambda a: bool(a.get("iscrowd", 0)))
         for ann in anns:
             if slot >= m:
                 break

@@ -475,7 +475,10 @@ class DetectionAP:
                     ap_t[ti] = q.mean()
                 ap_out[rng_name].append(float(ap_t.mean()))
                 if rng_name == "all":
-                    ap50.append(float(ap_t[0]))      # thresholds[0] = 0.5
+                    # nearest threshold to the labeled point — exact under
+                    # the default .5:.05:.95 sweep, honest under custom lists
+                    i50 = int(np.argmin(np.abs(self.thresholds - 0.5)))
+                    ap50.append(float(ap_t[i50]))
                     i75 = int(np.argmin(np.abs(self.thresholds - 0.75)))
                     ap75.append(float(ap_t[i75]))
                     ar_all.append(float(rc[:, -1].mean()) if rc.size else 0.0)

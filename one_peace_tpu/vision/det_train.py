@@ -180,12 +180,18 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
     pyr = detector.fpn(params["fpn"], f16)
     feats = [pyr[k] for k in detector.PYRAMID_KEYS]
 
+    # independent streams for the RPN anchor sampler and the proposal
+    # jitter — sharing the base key would correlate the two draws
+    rng_sampler = rng_jitter = None
+    if rng is not None:
+        rng_sampler, rng_jitter = jax.random.split(rng)
+
     if getattr(detector, "proposer_kind", "fcos") == "rpn":
         from .rpn import rpn_loss
 
         loss_fcos, metrics = rpn_loss(detector.proposer, params["proposer"],
                                       feats, gt_boxes, gt_labels, gt_valid,
-                                      sampler=rpn_sampler, rng=rng)
+                                      sampler=rpn_sampler, rng=rng_sampler)
     else:
         loss_fcos, metrics = fcos_loss(detector.proposer, params["proposer"],
                                        feats, gt_boxes, gt_labels, gt_valid)
@@ -194,7 +200,7 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
     # within each image and RoIAlign in raw coordinates)
     if rng is not None:
         wh = jnp.concatenate([gt_boxes[..., 2:4] - gt_boxes[..., 0:2]] * 2, -1)
-        noise = (jax.random.uniform(rng, gt_boxes.shape) - 0.5) \
+        noise = (jax.random.uniform(rng_jitter, gt_boxes.shape) - 0.5) \
             * proposal_jitter * wh
         props = gt_boxes + noise
     else:

@@ -369,6 +369,43 @@ def test_rle_mask_padding_stays_empty(tmp_path):
     assert not m[8:].any(), "padding rows must stay empty"
 
 
+def test_crowd_anns_never_evict_real_gts(tmp_path):
+    """Under the fixed max_boxes slot budget, real (scoreable) GTs must
+    fill slots before crowd ignore regions, regardless of annotation-file
+    order (a crowd-first file must not silently drop real instances)."""
+    from one_peace_tpu.data.vision_datasets import CocoDetectionDataset
+
+    arr = np.full((64, 64, 3), 128, np.uint8)
+    Image.fromarray(arr).save(tmp_path / "i.png")
+    anns = []
+    # 3 crowd anns listed FIRST, then 3 real anns; budget of 4 slots
+    for i in range(3):
+        anns.append({"id": i + 1, "image_id": 0, "category_id": 1,
+                     "bbox": [2.0 * i, 2.0, 10.0, 10.0], "area": 100.0,
+                     "iscrowd": 1})
+    for i in range(3):
+        anns.append({"id": i + 4, "image_id": 0, "category_id": 1,
+                     "bbox": [4.0 * i, 30.0, 10.0, 10.0], "area": 100.0,
+                     "iscrowd": 0})
+    doc = {
+        "images": [{"id": 0, "file_name": "i.png", "width": 64, "height": 64}],
+        "annotations": anns,
+        "categories": [{"id": 1, "name": "x"}],
+    }
+    ann = tmp_path / "a.json"
+    ann.write_text(json.dumps(doc))
+    ds = CocoDetectionDataset("valid", str(ann), str(tmp_path),
+                              image_size=64, max_boxes=4, with_masks=False)
+    s = ds[0]
+    assert s["gt_valid"].sum() == 4
+    # all 3 real GTs present (slots 0-2), exactly one crowd slot kept
+    assert not s["gt_crowd"][:3].any(), "real GTs must fill slots first"
+    assert s["gt_crowd"][3], "remaining budget goes to crowd regions"
+    # within-group annotation order preserved (stable sort): first real
+    # ann's box at x=0..10 scaled to the 64px canvas appears in slot 0
+    assert abs(s["gt_boxes"][0][1] - 30.0) < 1e-4
+
+
 def test_seg_eval_protocol_ms_flip_branch():
     """task.seg_eval_protocol routes valid_step through slide/ms_flip
     host inference (ref seg/test.py --aug-test) and folds a host-side
