@@ -228,16 +228,36 @@ class Ade20kSegTask(VisionTaskBase):
         test_cfg mode='slide') or 'ms_flip' (ref seg/test.py:143-148
         --aug-test) instead of the jitted whole-crop path."""
         proto = getattr(self.cfg, "seg_eval_protocol", "whole")
+        if proto == "slide":
+            # device end-to-end: the scanned slide canvas never leaves the
+            # chip — argmax + confusion matrix reduce there, merged once
+            import jax.numpy as jnp
+
+            imgs = np.asarray(batch["src_images"], np.float32)
+            crop, stride = self.cfg.image_size, self.cfg.seg_eval_stride
+            sc_dev = model.slide_scores(params, imgs, crop, stride)
+            c, ign = self.metric.num_classes, self.metric.ignore_index
+
+            def slide_cm(sc, t):
+                pred = jnp.argmax(sc, -1).astype(jnp.int32)
+                valid = t != ign
+                safe_t = jnp.where(valid, t, 0)
+                idx = jnp.where(valid,
+                                safe_t * c + jnp.clip(pred, 0, c - 1), c * c)
+                cm = jnp.bincount(idx.reshape(-1), length=c * c + 1)[: c * c]
+                return cm.reshape(c, c)
+
+            fn = self._jit("seg_slide_cm", slide_cm)
+            cm = fn(sc_dev, jnp.asarray(batch["target"]))
+            self._cm_dev = cm if self._cm_dev is None else self._cm_dev + cm
+            return
         if proto != "whole":
             imgs = np.asarray(batch["src_images"], np.float32)
             crop, stride = self.cfg.image_size, self.cfg.seg_eval_stride
-            if proto == "slide":
-                sc = model.slide_logits(params, imgs, crop, stride)
-            else:
-                assert proto == "ms_flip", proto
-                sc = model.ms_flip_logits(
-                    params, imgs, crop, stride,
-                    ratios=tuple(self.cfg.seg_ms_ratios), flip=True)
+            assert proto == "ms_flip", proto
+            sc = model.ms_flip_logits(
+                params, imgs, crop, stride,
+                ratios=tuple(self.cfg.seg_ms_ratios), flip=True)
             pred = sc.argmax(-1)
             t = np.asarray(batch["target"])
             c, ign = self.metric.num_classes, self.metric.ignore_index

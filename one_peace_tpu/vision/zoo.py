@@ -215,6 +215,7 @@ class OnePeaceSegmenter:
                                 num_classes=num_classes)
         self.num_classes = num_classes
         self._slide_fn = None
+        self._slide_scan: Dict = {}
 
     def init(self, key, dtype=jnp.float32):
         k1, k2 = jax.random.split(key)
@@ -261,42 +262,119 @@ class OnePeaceSegmenter:
         feats = self.backbone(params["backbone"], images)
         return self.head(params["head"], feats)
 
-    def slide_logits(self, params, images: np.ndarray, crop: int,
-                     stride: int) -> np.ndarray:
-        """Sliding-window inference over an arbitrary-size image
-        (ref seg config test_cfg: mode='slide', crop_size=896,
-        stride=512): overlapping ``crop`` windows, per-pixel average of
-        the upsampled window scores.  One jit program (fixed crop shape)
-        reused across every window position; accumulation on host."""
-        import jax
-
-        if self._slide_fn is None:
-            self._slide_fn = jax.jit(self.logits)
-        b, _, h, w = images.shape
-        images = np.asarray(images, np.float32)
-        out = None
-        cnt = np.zeros((1, h, w, 1), np.float32)
+    @staticmethod
+    def _slide_origins(h: int, w: int, crop: int, stride: int):
+        """mmseg slide window grid: stride steps plus the shifted-back
+        tail window (ref test_cfg mode='slide' semantics)."""
         ys = list(range(0, max(h - crop, 0) + 1, stride))
         xs = list(range(0, max(w - crop, 0) + 1, stride))
         if ys[-1] + crop < h:
             ys.append(h - crop)
         if xs[-1] + crop < w:
             xs.append(w - crop)
-        for y0 in ys:
-            for x0 in xs:
-                tile = images[:, :, y0:y0 + crop, x0:x0 + crop]
-                ph, pw = crop - tile.shape[2], crop - tile.shape[3]
-                if ph or pw:
-                    tile = np.pad(tile, ((0, 0), (0, 0), (0, ph), (0, pw)))
-                sc = np.asarray(self._slide_fn(params, jnp.asarray(tile)),
-                                np.float32)
-                sc = sc.repeat(4, axis=1).repeat(4, axis=2)[
-                    :, : crop - ph, : crop - pw]
-                if out is None:
-                    out = np.zeros((b, h, w, sc.shape[-1]), np.float32)
-                out[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += sc
-                cnt[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += 1.0
+        return [(y, x) for y in ys for x in xs]
+
+    def slide_scores(self, params, images, crop: int, stride: int):
+        """Sliding-window inference over an arbitrary-size image
+        (ref seg config test_cfg: mode='slide', crop_size=896,
+        stride=512): overlapping ``crop`` windows, per-window bilinear
+        upsample of the class scores to crop resolution (mmseg
+        slide_inference resize semantics), per-pixel average.
+
+        The whole window loop is ONE jitted program — `lax.scan` over the
+        statically-computed origin grid with the score canvas accumulated
+        on device — so an eval pass costs one dispatch per batch instead
+        of one tunnel round-trip per window, and the result can stay on
+        device for the confusion-matrix reduction.  Compiled once per
+        (batch, image, crop, stride) signature; the valid split emits
+        fixed-size squares, so that's a single compile per eval config.
+        Returns a DEVICE (B, H, W, C) array."""
+        import jax
+
+        b, _, h, w = images.shape
+        origins = np.asarray(self._slide_origins(h, w, crop, stride),
+                             np.int32)
+        key = (b, h, w, crop, stride, len(origins))
+        if key not in self._slide_scan:
+            hp, wp = max(h, crop), max(w, crop)
+            c = self.num_classes
+
+            def run(params, images, origins):
+                imgs = jnp.pad(images.astype(jnp.float32),
+                               ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+                canvas = jnp.zeros((b, hp, wp, c), jnp.float32)
+                cnt = jnp.zeros((hp, wp), jnp.float32)
+
+                def body(carry, o):
+                    canvas, cnt = carry
+                    tile = jax.lax.dynamic_slice(
+                        imgs, (0, 0, o[0], o[1]), (b, 3, crop, crop))
+                    sc = self.logits(params, tile).astype(jnp.float32)
+                    sc = jax.image.resize(sc, (b, crop, crop, c),
+                                          method="bilinear")
+                    patch = jax.lax.dynamic_slice(
+                        canvas, (0, o[0], o[1], 0), (b, crop, crop, c))
+                    canvas = jax.lax.dynamic_update_slice(
+                        canvas, patch + sc, (0, o[0], o[1], 0))
+                    cpatch = jax.lax.dynamic_slice(cnt, (o[0], o[1]),
+                                                   (crop, crop))
+                    cnt = jax.lax.dynamic_update_slice(
+                        cnt, cpatch + 1.0, (o[0], o[1]))
+                    return (canvas, cnt), None
+
+                (canvas, cnt), _ = jax.lax.scan(body, (canvas, cnt), origins)
+                out = canvas / jnp.maximum(cnt, 1.0)[None, :, :, None]
+                return out[:, :h, :w]
+
+            self._slide_scan[key] = jax.jit(run)
+        return self._slide_scan[key](params, jnp.asarray(images),
+                                     jnp.asarray(origins))
+
+    def _slide_logits_host(self, params, images: np.ndarray, crop: int,
+                           stride: int) -> np.ndarray:
+        """Host-orchestrated fallback (one dispatch per window, same
+        math as `slide_scores`): used when per-signature compiles are
+        unaffordable (ONE_PEACE_SLIDE_IMPL=host) and as the equivalence
+        arm in tests."""
+        import jax
+
+        if self._slide_fn is None:
+            def window(params, tile):
+                # resize target from the tile's own (traced) shape so the
+                # cached jit serves any crop size
+                sc = self.logits(params, tile).astype(jnp.float32)
+                return jax.image.resize(
+                    sc, (tile.shape[0], tile.shape[2], tile.shape[3],
+                         sc.shape[-1]), method="bilinear")
+
+            self._slide_fn = jax.jit(window)
+        b, _, h, w = images.shape
+        images = np.asarray(images, np.float32)
+        out = None
+        cnt = np.zeros((1, h, w, 1), np.float32)
+        for y0, x0 in self._slide_origins(h, w, crop, stride):
+            tile = images[:, :, y0:y0 + crop, x0:x0 + crop]
+            ph, pw = crop - tile.shape[2], crop - tile.shape[3]
+            if ph or pw:
+                tile = np.pad(tile, ((0, 0), (0, 0), (0, ph), (0, pw)))
+            sc = np.asarray(self._slide_fn(params, jnp.asarray(tile)),
+                            np.float32)[:, : crop - ph, : crop - pw]
+            if out is None:
+                out = np.zeros((b, h, w, sc.shape[-1]), np.float32)
+            out[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += sc
+            cnt[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += 1.0
         return out / np.maximum(cnt, 1.0)
+
+    def slide_logits(self, params, images: np.ndarray, crop: int,
+                     stride: int) -> np.ndarray:
+        """Host-side (B, H, W, C) averaged slide scores; thin fetch over
+        `slide_scores` (or the per-window host loop under
+        ONE_PEACE_SLIDE_IMPL=host)."""
+        import os
+
+        if os.environ.get("ONE_PEACE_SLIDE_IMPL") == "host":
+            return self._slide_logits_host(params, images, crop, stride)
+        return np.asarray(self.slide_scores(params, images, crop, stride))
 
     def ms_flip_logits(self, params, images: np.ndarray, crop: int,
                        stride: int,

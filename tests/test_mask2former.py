@@ -151,12 +151,18 @@ def test_sine_positional_encoding_properties():
 
 def test_slide_inference(tiny_m2f):
     """slide_logits (ref test_cfg mode='slide') must equal the direct
-    forward when one window covers the image, and tile/average cleanly
-    when it doesn't."""
+    forward (bilinearly upsampled to input resolution, mmseg
+    slide_inference resize semantics) when one window covers the image,
+    and tile/average cleanly when it doesn't — with the scanned
+    single-dispatch path exactly matching the per-window host loop."""
+    import os
+
     seg, params = tiny_m2f
     imgs = np.random.RandomState(5).rand(1, 3, 64, 64).astype(np.float32)
     direct = np.asarray(jax.jit(seg.logits)(params, jnp.asarray(imgs)))
-    direct_up = direct.repeat(4, axis=1).repeat(4, axis=2)
+    direct_up = np.asarray(jax.image.resize(
+        jnp.asarray(direct), (1, 64, 64, direct.shape[-1]),
+        method="bilinear"))
     whole = seg.slide_logits(params, imgs, crop=64, stride=64)
     np.testing.assert_allclose(whole, direct_up, atol=1e-5)
     # image larger than the model's crop: the exact case slide exists for
@@ -164,6 +170,23 @@ def test_slide_inference(tiny_m2f):
     tiled = seg.slide_logits(params, big, crop=64, stride=32)
     assert tiled.shape == (1, 96, 96, 5)
     assert np.isfinite(tiled).all()
+    # scan-vs-host equivalence on a real multi-window grid (incl. the
+    # shifted-back tail windows) and on the smaller-than-crop case
+    host = seg._slide_logits_host(params, big, crop=64, stride=32)
+    np.testing.assert_allclose(tiled, host, atol=1e-5)
+    small = np.random.RandomState(7).rand(1, 3, 48, 40).astype(np.float32)
+    np.testing.assert_allclose(
+        seg.slide_logits(params, small, crop=64, stride=32),
+        seg._slide_logits_host(params, small, crop=64, stride=32),
+        atol=1e-5)
+    # the env escape hatch routes through the host loop
+    os.environ["ONE_PEACE_SLIDE_IMPL"] = "host"
+    try:
+        np.testing.assert_allclose(
+            seg.slide_logits(params, big, crop=64, stride=32), host,
+            atol=1e-6)
+    finally:
+        del os.environ["ONE_PEACE_SLIDE_IMPL"]
 
 
 def test_ade20k_mask2former_trains(tmp_path):

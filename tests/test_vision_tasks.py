@@ -434,6 +434,41 @@ def test_seg_eval_protocol_ms_flip_branch():
     assert stats["miou"] == 100.0
 
 
+def test_seg_eval_protocol_slide_device_cm():
+    """proto='slide' stays on device end-to-end: valid_step consumes the
+    scanned slide canvas via model.slide_scores (never slide_logits), the
+    confusion matrix accumulates as a device array, and merge fetches it
+    once."""
+    import jax.numpy as jnp
+
+    from one_peace_tpu.core.config import TaskConfig
+    from one_peace_tpu.tasks.vision_tasks import Ade20kSegTask
+
+    cfg = TaskConfig(_name="ade20k_seg", num_classes=3, image_size=16,
+                     seg_eval_protocol="slide", seg_eval_stride=8)
+    task = Ade20kSegTask(cfg)
+    target = np.random.RandomState(1).randint(0, 3, (2, 16, 16)).astype(np.int32)
+    target[:, -3:] = 255  # ignore band
+
+    class Oracle:
+        def slide_scores(self, params, images, crop, stride):
+            assert crop == 16 and stride == 8
+            probs = np.zeros(target.shape + (3,), np.float32)
+            np.put_along_axis(probs, np.clip(target[..., None], 0, 2), 1.0, -1)
+            return jnp.asarray(probs)
+
+        def slide_logits(self, *a, **k):  # pragma: no cover
+            raise AssertionError("slide protocol must not fetch the canvas")
+
+    task.begin_valid_epoch(None, None)
+    batch = {"src_images": np.zeros((2, 3, 16, 16), np.float32),
+             "target": target}
+    task.valid_step(Oracle(), None, batch)
+    assert task._cm_dev is not None, "CM must accumulate on device"
+    stats = task.merge_results()
+    assert stats["miou"] == 100.0
+
+
 def test_video_multiview_testing(video_corpus):
     """Multi-view video testing (ref onepeace_k400_frame32.py:50-60:
     SampleFrames num_clips=3 + ThreeCrop, probs averaged per
