@@ -101,8 +101,11 @@ def main(argv: Optional[list] = None) -> int:
 
     trainer = Trainer(cfg, model, criterion, params=params)
 
+    from ..core.metrics import build_sinks
+
     progress = ProgressLogger(cfg.common.log_format, cfg.common.log_interval,
-                              cfg.common.tensorboard_logdir)
+                              cfg.common.tensorboard_logdir,
+                              sinks=build_sinks(cfg.common))
     itr = task.get_batch_iterator(
         "train", cfg.dataset.batch_size, seed=cfg.common.seed,
         ensure_equal_batch=cfg.dataset.ensure_equal_batch,
@@ -200,6 +203,7 @@ def main(argv: Optional[list] = None) -> int:
     if tracing:  # run ended inside the profile window
         jax.profiler.stop_trace()
     ckpt.wait_for_saves()
+    progress.close()
     return 0
 
 
@@ -253,16 +257,24 @@ def _maybe_save_best(cfg, trainer, stats, eval_params=None):
     better = (best is None or
               (value > best if cfg.checkpoint.maximize_best_checkpoint_metric
                else value < best))
+    export = eval_params if eval_params is not None else trainer.params
     if better:
         _BEST_METRIC["value"] = value
         import os
 
         path = os.path.join(cfg.checkpoint.save_dir, "checkpoint_best.npz")
         ckpt.save_params(
-            path,
-            eval_params if eval_params is not None else trainer.params,
-            metadata={key: float(value), "step": trainer.step})
+            path, export, metadata={key: float(value), "step": trainer.step})
         logger.info("new best %s=%.4f -> %s", key, value, path)
+    if cfg.checkpoint.keep_best_checkpoints > 0:
+        # k-best retention (ref checkpoint_utils.py keep_best_checkpoints):
+        # ranked by filename, independent of the single-best export above
+        kpath = ckpt.save_best_k(
+            cfg.checkpoint.save_dir, key, float(value),
+            cfg.checkpoint.maximize_best_checkpoint_metric,
+            cfg.checkpoint.keep_best_checkpoints, export, trainer.step)
+        if kpath:
+            logger.info("k-best export %s=%.4f -> %s", key, value, kpath)
 
 
 def validate(cfg, task, model, trainer, progress):

@@ -354,6 +354,13 @@ class CommonConfig:
     log_format: str = "simple"
     log_interval: int = 10
     tensorboard_logdir: str = ""
+    # extra metric sinks (ref logging/progress_bar.py:27-583 wires
+    # TensorBoard/W&B/Aim wrappers the same way): a JSONL file sink that
+    # needs no external service, plus W&B/Aim clients that no-op when the
+    # library is absent (zero-egress hosts)
+    log_file: str = ""
+    wandb_project: str = ""
+    aim_repo: str = ""
     # XLA/TPU profiler capture: write a trace of update steps
     # [profile_start, profile_stop) to profile_dir (jax.profiler works on
     # TPU incl. the axon tunnel; view in TensorBoard / Perfetto)
@@ -367,6 +374,10 @@ class CheckpointConfig:
     save_dir: str = "checkpoints"
     restore_file: str = ""
     keep_last_epochs: int = -1
+    # keep the k best checkpoints by best_checkpoint_metric, named
+    # checkpoint.best_{metric}_{value}.npz (ref checkpoint_utils.py:37-189
+    # keep_best_checkpoints); -1 = only checkpoint_best.npz
+    keep_best_checkpoints: int = -1
     save_interval: int = 1
     save_interval_updates: int = 0
     best_checkpoint_metric: str = ""

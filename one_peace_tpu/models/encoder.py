@@ -112,8 +112,11 @@ def init_encoder_layer(key, cfg: EncoderConfig, dtype=jnp.float32):
 # bit-identity vs the separate-array kernel on real Mosaic partial
 # blocks + a proxy win) passes — interpret-mode CPU tests zero-fill OOB
 # and cannot catch DMA-offset bugs.  The weight layout in params is
-# UNCHANGED either way — the concat happens at trace time and is
-# hoisted/CSEd by XLA.
+# UNCHANGED either way; note the concats are traced on jit ARGUMENTS
+# (and scanned per layer), so XLA cannot hoist them — each step pays an
+# HBM weight copy that partially offsets the read-x-once win.  The
+# on-chip gate decides whether the net is positive; a serving-time param
+# pre-concat transform is the follow-up if it is.
 _FUSED_PROJ = os.environ.get("ONE_PEACE_FUSED_PROJ", "0") != "0"
 
 

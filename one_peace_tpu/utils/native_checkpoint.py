@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, Optional
 
 import jax
@@ -182,3 +183,50 @@ def _prune_old(ckpt_dir: str, keep: int) -> None:
     )
     for s in steps[:-keep]:
         shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+
+
+_BEST_RE = re.compile(
+    r"^checkpoint\.best_(?P<key>.+)_(?P<value>-?\d+(?:\.\d+)?)\.npz$")
+
+
+def best_k_checkpoints(ckpt_dir: str, key: str) -> list:
+    """[(value, path)] of existing k-best exports for ``key``, parsed from
+    filenames (robust across resume — the ranking state lives in the
+    directory itself, the way ref checkpoint_utils.py:206-238
+    checkpoint_paths re-derives order from a pattern)."""
+    out = []
+    if not os.path.isdir(ckpt_dir):
+        return out
+    for name in os.listdir(ckpt_dir):
+        m = _BEST_RE.match(name)
+        if m and m.group("key") == key:
+            out.append((float(m.group("value")), os.path.join(ckpt_dir, name)))
+    return out
+
+
+def save_best_k(ckpt_dir: str, key: str, value: float, maximize: bool,
+                k: int, params, step: int) -> Optional[str]:
+    """Keep the k best param exports by ``key``
+    (ref checkpoint_utils.py:37-189 keep_best_checkpoints): write
+    ``checkpoint.best_{key}_{value}.npz`` when the new value ranks within
+    the current top k, then delete exports that fell out.  Returns the
+    written path, or None if the value did not rank."""
+    if k <= 0:
+        return None
+    existing = best_k_checkpoints(ckpt_dir, key)
+    ranked = sorted(existing, key=lambda t: t[0], reverse=maximize)
+    if len(ranked) >= k:
+        worst = ranked[k - 1][0]
+        if (value <= worst) if maximize else (value >= worst):
+            return None
+    path = os.path.join(ckpt_dir, f"checkpoint.best_{key}_{value:.4f}.npz")
+    save_params(path, params, metadata={key: float(value), "step": step})
+    ranked = sorted(best_k_checkpoints(ckpt_dir, key),
+                    key=lambda t: t[0], reverse=maximize)
+    for _, stale in ranked[k:]:
+        if os.path.abspath(stale) != os.path.abspath(path):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
+    return path

@@ -365,14 +365,30 @@ class OnePeaceSegmenter:
             cnt[:, y0:y0 + sc.shape[1], x0:x0 + sc.shape[2]] += 1.0
         return out / np.maximum(cnt, 1.0)
 
+    # device canvas budget for the fused slide path: the scan keeps a
+    # (B, H, W, C) fp32 canvas in HBM next to the model params (C=150 at
+    # 1024px, B=4 is ~2.5 GB) — route oversize canvases through the
+    # per-window host loop automatically instead of OOMing
+    SLIDE_CANVAS_BUDGET_BYTES = int(1.5e9)
+
     def slide_logits(self, params, images: np.ndarray, crop: int,
                      stride: int) -> np.ndarray:
         """Host-side (B, H, W, C) averaged slide scores; thin fetch over
-        `slide_scores` (or the per-window host loop under
-        ONE_PEACE_SLIDE_IMPL=host)."""
+        `slide_scores`.  Routes to the per-window host loop under
+        ONE_PEACE_SLIDE_IMPL=host, or automatically when the on-device
+        score canvas would exceed SLIDE_CANVAS_BUDGET_BYTES."""
+        import logging
         import os
 
+        b, _, h, w = images.shape
+        canvas_bytes = 4 * b * max(h, crop) * max(w, crop) * self.num_classes
         if os.environ.get("ONE_PEACE_SLIDE_IMPL") == "host":
+            return self._slide_logits_host(params, images, crop, stride)
+        if canvas_bytes > self.SLIDE_CANVAS_BUDGET_BYTES:
+            logging.getLogger(__name__).info(
+                "slide canvas %.2f GB exceeds %.2f GB budget; using the "
+                "per-window host loop", canvas_bytes / 1e9,
+                self.SLIDE_CANVAS_BUDGET_BYTES / 1e9)
             return self._slide_logits_host(params, images, crop, stride)
         return np.asarray(self.slide_scores(params, images, crop, stride))
 
