@@ -32,7 +32,7 @@ import numpy as np
 import os
 
 from ..core.config import EncoderConfig
-from ..ops.attention import multihead_attention, multihead_attention_packed
+from ..ops.attention import multihead_attention
 from .components import (
     dropout,
     drop_path,
@@ -103,21 +103,12 @@ def init_encoder_layer(key, cfg: EncoderConfig, dtype=jnp.float32):
     return params
 
 
-# Fused projection dots: qkv as ONE (d, 3d) matmul and the GeGLU
-# wi_0|wi_1 pair as ONE (d, 2f) matmul — x is read from HBM once instead
-# of 3x/2x and the MXU sees one long dot instead of several short ones
-# (fewer ramp-up tails).  The Pallas attention reads the packed qkv
-# zero-copy (ops/flash_attention.py).  ONE_PEACE_FUSED_PROJ=1 enables;
-# default OFF until the on-chip gate (examples/bench_fused_proj.py:
-# bit-identity vs the separate-array kernel on real Mosaic partial
-# blocks + a proxy win) passes — interpret-mode CPU tests zero-fill OOB
-# and cannot catch DMA-offset bugs.  The weight layout in params is
-# UNCHANGED either way; note the concats are traced on jit ARGUMENTS
-# (and scanned per layer), so XLA cannot hoist them — each step pays an
-# HBM weight copy that partially offsets the read-x-once win.  The
-# on-chip gate decides whether the net is positive; a serving-time param
-# pre-concat transform is the follow-up if it is.
-_FUSED_PROJ = os.environ.get("ONE_PEACE_FUSED_PROJ", "0") != "0"
+# NOTE: a fused-projection variant (qkv as ONE (d, 3d) matmul + GeGLU
+# wi_0|wi_1 as ONE (d, 2f) matmul, packed-qkv Pallas reads) was gated on
+# the real chip 2026-08-20 and REJECTED: bit-exact, but -7% proxy fwd
+# (764.9 vs 824.6 img/s) and the per-step traced weight concats (jit
+# arguments, scanned per layer — XLA cannot hoist them) OOMed the
+# training graph.  Measurement record in PARITY.md.
 
 
 def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
@@ -132,24 +123,13 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
     b, l, d = x.shape
     h = cfg.attention_heads
     hd = d // h
-    if _FUSED_PROJ and not is_quantized(params["q_proj"]):
-        w = jnp.concatenate([params["q_proj"]["w"], params["k_proj"]["w"],
-                             params["v_proj"]["w"]], axis=1)
-        bias = jnp.concatenate([params["q_proj"]["b"],
-                                jnp.zeros_like(params["q_proj"]["b"]),
-                                params["v_proj"]["b"]])  # k_proj has no bias
-        qkv = x @ w + bias
-        attn = multihead_attention_packed(
-            qkv, rel_bias, key_padding_mask, scaling=hd**-0.5, heads=h,
-            impl=cfg.attn_impl)
-    else:
-        lin = quantized_linear if is_quantized(params["q_proj"]) else linear
-        q = lin(params["q_proj"], x).reshape(b, l, h, hd)
-        k = lin(params["k_proj"], x).reshape(b, l, h, hd)
-        v = lin(params["v_proj"], x).reshape(b, l, h, hd)
-        attn = multihead_attention(
-            q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5,
-            impl=cfg.attn_impl)
+    lin = quantized_linear if is_quantized(params["q_proj"]) else linear
+    q = lin(params["q_proj"], x).reshape(b, l, h, hd)
+    k = lin(params["k_proj"], x).reshape(b, l, h, hd)
+    v = lin(params["v_proj"], x).reshape(b, l, h, hd)
+    attn = multihead_attention(
+        q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5,
+        impl=cfg.attn_impl)
     attn = attn.reshape(b, l, d)
     if "c_attn" in params:
         attn = (attn.reshape(b, l, h, hd) * params["c_attn"][:, None]).reshape(b, l, d)
@@ -166,16 +146,8 @@ def _geglu_ffn(params, x, act_dropout, deterministic, rng):
     by ops.quant.quantize_ffn_params (serving mode)."""
     from ..ops.quant import is_quantized, quantized_linear
 
-    if _FUSED_PROJ and not is_quantized(params["wi_0"]):
-        # one (d, 2f) dot; the two halves feed the gelu*gate elementwise
-        # fusion as strided slices (wi_0/wi_1 have no bias)
-        f = params["wi_0"]["w"].shape[-1]
-        y2 = x @ jnp.concatenate([params["wi_0"]["w"],
-                                  params["wi_1"]["w"]], axis=1)
-        y = gelu(y2[..., :f]) * y2[..., f:]
-    else:
-        lin = quantized_linear if is_quantized(params["wi_0"]) else linear
-        y = gelu(lin(params["wi_0"], x)) * lin(params["wi_1"], x)
+    lin = quantized_linear if is_quantized(params["wi_0"]) else linear
+    y = gelu(lin(params["wi_0"], x)) * lin(params["wi_1"], x)
     y = dropout(rng, y, act_dropout, deterministic)
     if "ffn_ln" in params:
         y = layer_norm(params["ffn_ln"], y)

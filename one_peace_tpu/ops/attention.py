@@ -238,30 +238,6 @@ def multihead_attention(
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-def multihead_attention_packed(
-    qkv: jnp.ndarray,
-    rel_bias: Optional[jnp.ndarray],
-    key_padding_mask: Optional[jnp.ndarray],
-    scaling: float,
-    heads: int,
-    impl: str = "pallas",
-) -> jnp.ndarray:
-    """Fused-projection companion to :func:`multihead_attention`.
-
-    ``qkv`` is the (B, L, 3*H*Dh) output of one packed qkv matmul, laid out
-    [q | k | v] along features (the encoder reads x once instead of three
-    times).  On the single-device Pallas path the kernel reads the three
-    sections as lane-offset blocks of the same buffer — no split copies;
-    every other path (XLA, ring, shard_map mesh) splits and delegates.
-    Returns (B, L, H*Dh)."""
-    if impl == "pallas" and _flash_mode() == "direct":
-        from .flash_attention import flash_attention_packed
-
-        return flash_attention_packed(qkv, rel_bias, key_padding_mask,
-                                      scaling, heads)
-    b, l, hdim3 = qkv.shape
-    dh = hdim3 // 3 // heads
-    qkv5 = qkv.reshape(b, l, 3, heads, dh)
-    out = multihead_attention(qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2],
-                              rel_bias, key_padding_mask, scaling, impl)
-    return out.reshape(b, l, heads * dh)
+# (a multihead_attention_packed fused-projection companion lived here
+# until 2026-08-20; chip-gated and rejected — see ops/flash_attention.py
+# tail note and PARITY.md)

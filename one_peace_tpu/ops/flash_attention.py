@@ -201,34 +201,25 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, l, blk_q, lpad):
     return kernel
 
 
-def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads, packed=False):
+def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
     """q/k/v: (B, L, H*Dh) UNPADDED; rel_bias (H, L, L) | (B, H, L, L) |
     None; key_bias (B, L) fp32 additive.  Returns (B, L, H*Dh).  Block
     shapes stay at the 128-lane grain (lpad); Mosaic DMAs the partial
-    blocks and the kernel masks the garbage fill when lpad != L.
-
-    ``packed=True``: q, k, v are the SAME (B, L, 3*H*Dh) array — the
-    output of a fused qkv projection laid out [q | k | v] along features.
-    The three input streams read it at lane-block offsets (0, H/m, 2H/m)
-    via their index maps; no split copies ever touch HBM."""
+    blocks and the kernel masks the garbage fill when lpad != L."""
     b, l, hdim = q.shape
-    if packed:
-        hdim //= 3
     lpad = -(-l // 128) * 128
     dh = hdim // heads
     blk_q = _pick_blk_q(l, lpad)
     m = _heads_per_program(heads, dh, target_lanes=384,
                            bias_block_bytes=blk_q * lpad * 4 * 2)
-    nh = heads // m
-    off_k, off_v = (nh, 2 * nh) if packed else (0, 0)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
     bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
 
-    qkv_spec = lambda lblk, off=0: pl.BlockSpec(  # noqa: E731
+    qkv_spec = lambda lblk: pl.BlockSpec(  # noqa: E731
         (1, lblk, m * dh),
-        (lambda hi, qi, bi: (bi, qi, off + hi)) if lblk == blk_q
-        else (lambda hi, qi, bi: (bi, 0, off + hi)),
+        (lambda hi, qi, bi: (bi, qi, hi)) if lblk == blk_q
+        else (lambda hi, qi, bi: (bi, 0, hi)),
         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
@@ -237,8 +228,8 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads, packed=False):
         grid=(heads // m, -(-l // blk_q), b),
         in_specs=[
             qkv_spec(blk_q),
-            qkv_spec(lpad, off_k),
-            qkv_spec(lpad, off_v),
+            qkv_spec(lpad),
+            qkv_spec(lpad),
             _bias_spec(bias_batched, has_bias, m, blk_q, lpad, 3),
             pl.BlockSpec((b, lpad), lambda hi, qi, bi: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -362,26 +353,19 @@ def _bwd_vmem_bytes(b, lsub, lpad, m, dh, esize, bias_batched, has_bias):
     return qkv + bias + transients + b * lpad * 4
 
 
-def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads, packed=False):
-    """``packed=True``: q, k, v are the SAME (B, L, 3*H*Dh) fused-qkv
-    array, read at lane-block offsets (g and the dq/dk/dv outputs stay
-    separate (B, L, H*Dh) arrays — the caller packs the cotangent)."""
+def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
     b, l, hdim = q.shape
-    if packed:
-        hdim //= 3
     lpad = -(-l // 128) * 128
     lsub = _pick_lsub(l, lpad)
     dh = hdim // heads
     m = _heads_per_program(heads, dh)
-    nh = heads // m
-    off_k, off_v = (nh, 2 * nh) if packed else (0, 0)
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
     bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
 
-    def _spec(lblk, off=0):
+    def _spec(lblk):
         return pl.BlockSpec((1, lblk, m * dh),
-                            lambda hi, bi: (bi, 0, off + hi),
+                            lambda hi, bi: (bi, 0, hi),
                             memory_space=pltpu.VMEM)
 
     qg_spec = _spec(lsub)
@@ -405,7 +389,7 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads, packed=False):
                          l, lsub, lpad),
         grid=(heads // m, b),
         in_specs=[
-            qg_spec, _spec(lpad, off_k), _spec(lpad, off_v), qg_spec,
+            qg_spec, _spec(lpad), _spec(lpad), qg_spec,
             _bias_spec(bias_batched, has_bias, m, lsub, lpad, 2),
             pl.BlockSpec((b, lpad), lambda hi, bi: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -507,81 +491,10 @@ def flash_attention(
     return out.reshape(b, l, h, d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention_core_packed(qkv, rel_bias, key_bias, scaling, heads):
-    return _flash_fwd(qkv, qkv, qkv, rel_bias, key_bias, scaling, heads,
-                      packed=True)
-
-
-def _core_fwd_packed(qkv, rel_bias, key_bias, scaling, heads):
-    out = _flash_fwd(qkv, qkv, qkv, rel_bias, key_bias, scaling, heads,
-                     packed=True)
-    return out, (qkv, rel_bias, key_bias)
-
-
-def _core_bwd_packed(scaling, heads, res, g):
-    qkv, rel_bias, key_bias = res
-    b, l, hdim3 = qkv.shape
-    hdim = hdim3 // 3
-    lpad = -(-l // 128) * 128
-    lsub = _pick_lsub(l, lpad)
-    m = _heads_per_program(heads, hdim // heads)
-    has_bias = rel_bias is not None
-    bias_batched = has_bias and rel_bias.ndim == 4
-    vmem = _bwd_vmem_bytes(b, lsub, lpad, m, hdim // heads,
-                           qkv.dtype.itemsize, bias_batched, has_bias)
-    if vmem <= _BWD_VMEM_BUDGET:
-        dq, dk, dv, dbias = _flash_bwd(qkv, qkv, qkv, g, rel_bias, key_bias,
-                                       scaling, heads, packed=True)
-        return jnp.concatenate([dq, dk, dv], axis=-1), dbias, None
-
-    # VMEM overflow fallback: XLA einsum vjp (materializes, still exact)
-    def f(qkv_, bias_):
-        return _xla_reference(qkv_[..., :hdim], qkv_[..., hdim:2 * hdim],
-                              qkv_[..., 2 * hdim:],
-                              bias_ if has_bias else None,
-                              key_bias, scaling, heads)
-
-    _, vjp = jax.vjp(f, qkv, rel_bias)
-    dqkv, dbias = vjp(g)
-    return dqkv, (dbias if has_bias else None), None
-
-
-_flash_attention_core_packed.defvjp(_core_fwd_packed, _core_bwd_packed)
-
-
-def flash_attention_packed(
-    qkv: jnp.ndarray,
-    rel_bias: Optional[jnp.ndarray],
-    key_padding_mask: Optional[jnp.ndarray],
-    scaling: float,
-    heads: int,
-) -> jnp.ndarray:
-    """Fused-projection entry: ``qkv`` is the (B, L, 3*H*Dh) output of a
-    single packed qkv matmul, laid out [q | k | v] along features.  The
-    kernels read the three sections as lane-offset blocks of the same HBM
-    buffer — the projection fusion costs zero split copies.  Returns
-    (B, L, H*Dh).  Same math as ``flash_attention`` (same kernels, same
-    grids, same masks); only the DMA source offsets differ."""
-    b, l, hdim3 = qkv.shape
-    if key_padding_mask is not None:
-        key_bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    else:
-        key_bias = jnp.zeros((b, l), jnp.float32)
-    if rel_bias is not None:
-        rel_bias = rel_bias.astype(jnp.float32)
-    if _FORCE_PAD:  # legacy v2 escape hatch: XLA pad copies outside
-        lpad = -(-l // 128) * 128
-        if lpad != l:
-            qkv = jnp.pad(qkv, ((0, 0), (0, lpad - l), (0, 0)))
-            key_bias = jnp.pad(key_bias, ((0, 0), (0, lpad - l)),
-                               constant_values=NEG_INF)
-            if rel_bias is not None:
-                pad = ([(0, 0)] * (rel_bias.ndim - 2)
-                       + [(0, lpad - l), (0, lpad - l)])
-                rel_bias = jnp.pad(rel_bias, pad)
-        out = _flash_attention_core_packed(qkv, rel_bias, key_bias,
-                                           scaling, heads)
-        return out[:, :l]
-    return _flash_attention_core_packed(qkv, rel_bias, key_bias, scaling,
-                                        heads)
+# NOTE on the rejected fused-projection variant: a packed-qkv kernel
+# (q/k/v read from one (B, L, 3*H*Dh) buffer at lane-block offsets) was
+# built and gated on chip 2026-08-20.  It was BIT-exact vs the separate
+# arrays on real Mosaic partial blocks, but the fused (d, 3d) projection
+# dot LOST 7% proxy fwd throughput (764.9 vs 824.6 img/s) and the
+# per-step weight concats OOMed the 8-layer training graph — rejected
+# and removed; see PARITY.md for the measurement record.

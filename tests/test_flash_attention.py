@@ -239,79 +239,3 @@ def test_bf16_softmax_optin_close_to_fp32():
         fa._SOFTMAX_BF16 = saved
     assert np.abs(out - ref).max() < 0.05  # bf16 rounding, not divergence
     assert np.abs(out - ref).max() > 0  # and the knob actually engaged
-
-@pytest.mark.parametrize("l", [64, 137])
-def test_packed_matches_separate(l):
-    """flash_attention_packed reads q/k/v as lane-offset blocks of ONE
-    (B, L, 3*H*Dh) buffer; given the same values it must be bit-identical
-    to the separate-array entry (same kernels, only DMA offsets differ)."""
-    b, h, d = 2, 4, 16
-    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
-    bias = _rand((h, l, l), 3)
-    mask = np.zeros((b, l), bool)
-    mask[0, -3:] = True
-    mask = jnp.asarray(mask)
-    scaling = d**-0.5
-    qkv = jnp.concatenate([q.reshape(b, l, h * d), k.reshape(b, l, h * d),
-                           v.reshape(b, l, h * d)], axis=-1)
-    out_p = fa.flash_attention_packed(qkv, bias, mask, scaling, h)
-    out_s = fa.flash_attention(q, k, v, bias, mask, scaling).reshape(b, l, h * d)
-    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_s))
-
-
-def test_packed_gradients_match():
-    """d(qkv) must equal [dq | dk | dv] of the separate-entry vjp, and the
-    bias cotangent must match (partial-block path: l=137, lpad=256)."""
-    b, l, h, d = 1, 137, 2, 8
-    q, k, v = _rand((b, l, h, d), 0), _rand((b, l, h, d), 1), _rand((b, l, h, d), 2)
-    bias = _rand((h, l, l), 3)
-    scaling = d**-0.5
-    qkv = jnp.concatenate([q.reshape(b, l, h * d), k.reshape(b, l, h * d),
-                           v.reshape(b, l, h * d)], axis=-1)
-
-    def loss_packed(qkv, bias):
-        return jnp.sum(fa.flash_attention_packed(qkv, bias, None, scaling, h) ** 2)
-
-    def loss_sep(q, k, v, bias):
-        return jnp.sum(fa.flash_attention(q, k, v, bias, None, scaling) ** 2)
-
-    dqkv, dbias_p = jax.grad(loss_packed, argnums=(0, 1))(qkv, bias)
-    dq, dk, dv, dbias_s = jax.grad(loss_sep, argnums=(0, 1, 2, 3))(q, k, v, bias)
-    ref = jnp.concatenate([dq.reshape(b, l, h * d), dk.reshape(b, l, h * d),
-                           dv.reshape(b, l, h * d)], axis=-1)
-    np.testing.assert_array_equal(np.asarray(dqkv), np.asarray(ref))
-    np.testing.assert_array_equal(np.asarray(dbias_p), np.asarray(dbias_s))
-
-
-def test_fused_proj_encoder_parity():
-    """ONE_PEACE_FUSED_PROJ packs qkv into one (d, 3d) dot and the GeGLU
-    wi pair into one (d, 2f) dot; the layer must match the separate-dot
-    path to float tolerance (weights identical, only dot tiling differs)."""
-    import one_peace_tpu.models.encoder as enc
-    from one_peace_tpu.core.config import ModelConfig
-
-    cfg = ModelConfig(head_type="val").encoder
-    cfg.attn_impl = "pallas"
-    p = enc.init_encoder_layer(jax.random.PRNGKey(0), cfg, jnp.float32)
-    x = _rand((2, 37, cfg.embed_dim), 1)
-    rel = _rand((cfg.attention_heads, 37, 37), 2)
-    mask = np.zeros((2, 37), bool)
-    mask[:, -3:] = True
-    mask = jnp.asarray(mask)
-
-    def loss(p, fused):
-        old = enc._FUSED_PROJ
-        enc._FUSED_PROJ = fused
-        try:
-            y = enc.encoder_layer(p, cfg, x, mask, rel, "image", (0, 37, 0), 0.0)
-        finally:
-            enc._FUSED_PROJ = old
-        return jnp.sum(y ** 2)
-
-    v1, g1 = jax.value_and_grad(lambda p: loss(p, True))(p)
-    v0, g0 = jax.value_and_grad(lambda p: loss(p, False))(p)
-    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
-    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
-        scale = float(jnp.max(jnp.abs(b_))) + 1e-9
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=0, atol=1e-4 * scale)
