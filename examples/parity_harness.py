@@ -241,8 +241,13 @@ if __name__ == "__main__":
         seed = int(args[i + 1])
         del args[i:i + 2]
         _COMMON[-1] = f"common.seed={seed}"
+    n_steps = 60
+    if "--steps" in args:
+        i = args.index("--steps")
+        n_steps = int(args[i + 1])
+        del args[i:i + 2]
     which = set(args) or {"det", "seg"}
     if "seg" in which:
-        seg_study()
+        seg_study(n_steps=n_steps)
     if "det" in which:
         det_study()
