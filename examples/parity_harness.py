@@ -250,4 +250,4 @@ if __name__ == "__main__":
     if "seg" in which:
         seg_study(n_steps=n_steps)
     if "det" in which:
-        det_study()
+        det_study(n_steps=n_steps)

@@ -206,8 +206,17 @@ class AimSink(MetricsSink):
 def build_sinks(common_cfg) -> List[MetricsSink]:
     """Construct the sink list from CommonConfig (tensorboard_logdir,
     log_file, wandb_project, aim_repo — the reference wires the same set
-    in train.py:222-256)."""
+    in train.py:222-256).  Multi-process runs get sinks only on process 0
+    (the reference's progress bars live on the logging rank) — otherwise
+    every rank would open its own W&B run / append to the same JSONL."""
     sinks: List[MetricsSink] = []
+    try:
+        import jax
+
+        if jax.process_index() != 0:
+            return sinks
+    except Exception:
+        pass
     if getattr(common_cfg, "tensorboard_logdir", ""):
         sinks.append(TensorBoardSink(common_cfg.tensorboard_logdir))
     if getattr(common_cfg, "log_file", ""):

@@ -186,13 +186,14 @@ def _prune_old(ckpt_dir: str, keep: int) -> None:
 
 
 _BEST_RE = re.compile(
-    r"^checkpoint\.best_(?P<key>.+)_(?P<value>-?\d+(?:\.\d+)?)\.npz$")
+    r"^checkpoint\.best_(?P<key>.+)_(?P<value>-?\d+(?:\.\d+)?)"
+    r"\.step(?P<step>\d+)\.npz$")
 
 
 def best_k_checkpoints(ckpt_dir: str, key: str) -> list:
-    """[(value, path)] of existing k-best exports for ``key``, parsed from
-    filenames (robust across resume — the ranking state lives in the
-    directory itself, the way ref checkpoint_utils.py:206-238
+    """[(value, step, path)] of existing k-best exports for ``key``,
+    parsed from filenames (robust across resume — the ranking state lives
+    in the directory itself, the way ref checkpoint_utils.py:206-238
     checkpoint_paths re-derives order from a pattern)."""
     out = []
     if not os.path.isdir(ckpt_dir):
@@ -200,7 +201,8 @@ def best_k_checkpoints(ckpt_dir: str, key: str) -> list:
     for name in os.listdir(ckpt_dir):
         m = _BEST_RE.match(name)
         if m and m.group("key") == key:
-            out.append((float(m.group("value")), os.path.join(ckpt_dir, name)))
+            out.append((float(m.group("value")), int(m.group("step")),
+                        os.path.join(ckpt_dir, name)))
     return out
 
 
@@ -208,22 +210,31 @@ def save_best_k(ckpt_dir: str, key: str, value: float, maximize: bool,
                 k: int, params, step: int) -> Optional[str]:
     """Keep the k best param exports by ``key``
     (ref checkpoint_utils.py:37-189 keep_best_checkpoints): write
-    ``checkpoint.best_{key}_{value}.npz`` when the new value ranks within
-    the current top k, then delete exports that fell out.  Returns the
-    written path, or None if the value did not rank."""
-    if k <= 0:
+    ``checkpoint.best_{key}_{value}.step{N}.npz`` when the value ranks
+    within the current top k, then delete exports that fell out.  Returns
+    the written path, or None if the value did not rank.
+
+    Ranking compares at the 4-decimal filename precision (what a restart
+    can re-parse), so metrics within 1e-4 of the current k-th best count
+    as ties and do not rank; the step suffix keeps equal-valued exports
+    from different validations distinct on disk.  Non-finite values never
+    rank."""
+    if k <= 0 or not np.isfinite(value):
         return None
-    existing = best_k_checkpoints(ckpt_dir, key)
-    ranked = sorted(existing, key=lambda t: t[0], reverse=maximize)
+    value = round(float(value), 4)
+    ranked = sorted(best_k_checkpoints(ckpt_dir, key),
+                    key=lambda t: (t[0], t[1]), reverse=maximize)
     if len(ranked) >= k:
         worst = ranked[k - 1][0]
         if (value <= worst) if maximize else (value >= worst):
             return None
-    path = os.path.join(ckpt_dir, f"checkpoint.best_{key}_{value:.4f}.npz")
+    path = os.path.join(
+        ckpt_dir, f"checkpoint.best_{key}_{value:.4f}.step{step}.npz")
     save_params(path, params, metadata={key: float(value), "step": step})
+    # prune beyond k; at equal values the later step is the keeper
     ranked = sorted(best_k_checkpoints(ckpt_dir, key),
-                    key=lambda t: t[0], reverse=maximize)
-    for _, stale in ranked[k:]:
+                    key=lambda t: (t[0], t[1]), reverse=maximize)
+    for _, _, stale in ranked[k:]:
         if os.path.abspath(stale) != os.path.abspath(path):
             try:
                 os.remove(stale)

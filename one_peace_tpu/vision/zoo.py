@@ -25,6 +25,7 @@ exactly like the reference's strict=False load.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -288,10 +289,25 @@ class OnePeaceSegmenter:
         device for the confusion-matrix reduction.  Compiled once per
         (batch, image, crop, stride) signature; the valid split emits
         fixed-size squares, so that's a single compile per eval config.
-        Returns a DEVICE (B, H, W, C) array."""
+        Returns a DEVICE (B, H, W, C) array — except under the host
+        fallback (ONE_PEACE_SLIDE_IMPL=host, or a canvas over
+        SLIDE_CANVAS_BUDGET_BYTES), where the per-window host loop runs
+        and a host ndarray comes back (jnp consumers device-put it)."""
         import jax
 
         b, _, h, w = images.shape
+        canvas_bytes = (4 * b * max(h, crop) * max(w, crop)
+                        * self.num_classes)
+        if os.environ.get("ONE_PEACE_SLIDE_IMPL") == "host":
+            return self._slide_logits_host(params, images, crop, stride)
+        if canvas_bytes > self.SLIDE_CANVAS_BUDGET_BYTES:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "slide canvas %.2f GB exceeds %.2f GB budget; using the "
+                "per-window host loop", canvas_bytes / 1e9,
+                self.SLIDE_CANVAS_BUDGET_BYTES / 1e9)
+            return self._slide_logits_host(params, images, crop, stride)
         origins = np.asarray(self._slide_origins(h, w, crop, stride),
                              np.int32)
         key = (b, h, w, crop, stride, len(origins))
@@ -374,22 +390,8 @@ class OnePeaceSegmenter:
     def slide_logits(self, params, images: np.ndarray, crop: int,
                      stride: int) -> np.ndarray:
         """Host-side (B, H, W, C) averaged slide scores; thin fetch over
-        `slide_scores`.  Routes to the per-window host loop under
-        ONE_PEACE_SLIDE_IMPL=host, or automatically when the on-device
-        score canvas would exceed SLIDE_CANVAS_BUDGET_BYTES."""
-        import logging
-        import os
-
-        b, _, h, w = images.shape
-        canvas_bytes = 4 * b * max(h, crop) * max(w, crop) * self.num_classes
-        if os.environ.get("ONE_PEACE_SLIDE_IMPL") == "host":
-            return self._slide_logits_host(params, images, crop, stride)
-        if canvas_bytes > self.SLIDE_CANVAS_BUDGET_BYTES:
-            logging.getLogger(__name__).info(
-                "slide canvas %.2f GB exceeds %.2f GB budget; using the "
-                "per-window host loop", canvas_bytes / 1e9,
-                self.SLIDE_CANVAS_BUDGET_BYTES / 1e9)
-            return self._slide_logits_host(params, images, crop, stride)
+        `slide_scores` (which owns the ONE_PEACE_SLIDE_IMPL=host /
+        canvas-budget routing)."""
         return np.asarray(self.slide_scores(params, images, crop, stride))
 
     def ms_flip_logits(self, params, images: np.ndarray, crop: int,

@@ -187,6 +187,16 @@ def test_slide_inference(tiny_m2f):
             atol=1e-6)
     finally:
         del os.environ["ONE_PEACE_SLIDE_IMPL"]
+    # the canvas-budget auto-fallback routes slide_scores itself through
+    # the host loop (the seg eval protocol calls slide_scores directly)
+    old_budget = type(seg).SLIDE_CANVAS_BUDGET_BYTES
+    type(seg).SLIDE_CANVAS_BUDGET_BYTES = 1
+    try:
+        np.testing.assert_allclose(
+            np.asarray(seg.slide_scores(params, big, crop=64, stride=32)),
+            host, atol=1e-6)
+    finally:
+        type(seg).SLIDE_CANVAS_BUDGET_BYTES = old_budget
 
 
 def test_ade20k_mask2former_trains(tmp_path):

@@ -23,7 +23,7 @@ PARAMS = {"w": np.arange(4, dtype=np.float32)}
 
 
 def _kept_values(d, key):
-    return sorted(v for v, _ in best_k_checkpoints(d, key))
+    return sorted(v for v, _, _ in best_k_checkpoints(d, key))
 
 
 def test_save_best_k_maximize_ordering(tmp_path):
@@ -37,8 +37,23 @@ def test_save_best_k_maximize_ordering(tmp_path):
     assert written[4] is None
     assert _kept_values(d, "acc") == [0.6, 0.7, 0.8]
     # metadata records the step the export came from
-    meta = load_metadata(os.path.join(d, "checkpoint.best_acc_0.8000.npz"))
+    meta = load_metadata(
+        os.path.join(d, "checkpoint.best_acc_0.8000.step3.npz"))
     assert meta["step"] == 3 and meta["acc"] == 0.8
+
+
+def test_save_best_k_rejects_nan_and_keeps_ties_distinct(tmp_path):
+    d = str(tmp_path)
+    assert save_best_k(d, "loss", float("nan"), False, 2, PARAMS, 0) is None
+    assert best_k_checkpoints(d, "loss") == []
+    # two validations at the same (rounded) value stay distinct on disk
+    p1 = save_best_k(d, "acc", 0.93456, True, 3, PARAMS, 1)
+    p2 = save_best_k(d, "acc", 0.93458, True, 3, PARAMS, 2)
+    assert p1 and p2 and p1 != p2
+    assert len(best_k_checkpoints(d, "acc")) == 2
+    # with k full, a tie at filename precision does not rank
+    save_best_k(d, "acc", 0.95, True, 3, PARAMS, 3)
+    assert save_best_k(d, "acc", 0.93455, True, 3, PARAMS, 4) is None
 
 
 def test_save_best_k_minimize_ordering(tmp_path):
