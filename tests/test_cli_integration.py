@@ -140,6 +140,7 @@ def test_mid_epoch_validation_fires(corpus, tmp_path, monkeypatch):
     assert all(f <= 2 for _, f in calls), calls
 
 
+@pytest.mark.slow
 def test_resume_with_midepoch_validation_and_best_tracking(
         corpus, tmp_path, monkeypatch):
     """Kill-and-resume with the round-4 actors in the loop: interval

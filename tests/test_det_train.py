@@ -1,5 +1,6 @@
 """Detector training objective: FCOS + cascade + mask, end to end."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ def _batch(rs, b=2, m=3, size=64):
             jnp.asarray(valid), jnp.asarray(masks))
 
 
+@pytest.mark.slow
 def test_fcos_loss_prefers_correct_predictions():
     """Loss must drop when the head is trained; sanity: positive count > 0
     and all terms finite."""
@@ -53,6 +55,7 @@ def test_fcos_loss_prefers_correct_predictions():
     assert float(metrics["fcos_pos"]) > 0
 
 
+@pytest.mark.slow
 def test_detector_training_step_decreases_loss():
     det = _tiny_detector()
     params = det.init(jax.random.PRNGKey(0))

@@ -149,6 +149,7 @@ def test_sine_positional_encoding_properties():
     assert np.allclose(grid[0, 0, 16:], grid[1, 0, 16:])
 
 
+@pytest.mark.slow
 def test_slide_inference(tiny_m2f):
     """slide_logits (ref test_cfg mode='slide') must equal the direct
     forward (bilinearly upsampled to input resolution, mmseg
@@ -199,6 +200,7 @@ def test_slide_inference(tiny_m2f):
         type(seg).SLIDE_CANVAS_BUDGET_BYTES = old_budget
 
 
+@pytest.mark.slow
 def test_ade20k_mask2former_trains(tmp_path):
     """End-to-end: the ade20k_seg task with seg_head=mask2former builds,
     trains (loss decreases) and evaluates through the standard stack."""
@@ -249,6 +251,7 @@ def test_ade20k_mask2former_trains(tmp_path):
     assert "miou" in stats and 0.0 <= stats["miou"] <= 100.0
 
 
+@pytest.mark.slow
 def test_ms_flip_logits(tiny_m2f):
     """ms_flip_logits (ref seg/test.py:143-148 --aug-test) must reduce to
     softmax(slide_logits) for ratios=(1.0,) no-flip, and average softmaxed

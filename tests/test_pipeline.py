@@ -1,5 +1,6 @@
 """Pipeline parallelism vs serial layer scan on the CPU mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +87,7 @@ def test_pipeline_gradients_match_serial():
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_pipeline_training_step():
     """Full Trainer integration: pp=2 x dp=2 x fsdp=2 mesh, encoder routed
     through the pipeline, one ITC step == the serial-mesh step's loss, and

@@ -73,6 +73,7 @@ def _vl_batch(rng, bsz=2, tok_len=6, num_patches=4):
     return collate(samples, pad_idx=1)
 
 
+@pytest.mark.slow
 def test_vl_pretrain_step():
     cfg = _tiny_pretrain_cfg(audio=False)
     model = OnePeacePretrainModel(cfg)
@@ -130,6 +131,7 @@ def _al_batch(rng, spec, bsz=2, tok_len=6, wav_len=64):
     return collate(samples, pad_idx=1)
 
 
+@pytest.mark.slow
 def test_al_pretrain_step_stage2():
     cfg = _tiny_pretrain_cfg(audio=True)
     model = OnePeacePretrainModel(cfg, stage2_pretrain=True)

@@ -79,6 +79,7 @@ def _run(trainer, itr, ds, n_batches):
     return ds.accessed[mark:]
 
 
+@pytest.mark.slow
 def test_midepoch_preemption_resume(tmp_path):
     from one_peace_tpu.utils import native_checkpoint as ckpt
 

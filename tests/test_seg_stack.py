@@ -21,6 +21,7 @@ def test_spatial_prior_module():
     assert c4.shape == (2, 2 * 2, 32)
 
 
+@pytest.mark.slow
 def test_injector_extractor_roundtrip():
     from one_peace_tpu.vision.adapter import (
         Extractor, Injector, get_reference_points)
@@ -50,6 +51,7 @@ def test_injector_extractor_roundtrip():
     assert np.isfinite(np.asarray(out_priors)).all()
 
 
+@pytest.mark.slow
 def test_upernet_head():
     from one_peace_tpu.vision.upernet import UperNetHead
 
@@ -63,6 +65,7 @@ def test_upernet_head():
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_adapter_backbone_end_to_end():
     from one_peace_tpu.vision.adapter import OnePeaceAdapterBackbone
     from one_peace_tpu.vision.upernet import UperNetHead
@@ -128,6 +131,7 @@ def test_seg_end_to_end_miou():
     assert 0.0 <= out["miou"] <= 100.0
 
 
+@pytest.mark.slow
 def test_seg_cross_entropy_trains():
     from one_peace_tpu.vision.upernet import UperNetHead, seg_cross_entropy
     import jax

@@ -186,6 +186,7 @@ def test_grad_accumulation_matches_large_batch():
     assert not np.array_equal(mid, after)
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     """Preemption-safe resume: save the train state, rebuild a fresh
     trainer, restore, continue — params and step must carry over."""
@@ -225,6 +226,7 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     assert m2["loss"] == pytest.approx(m1["loss"], rel=1e-4)
 
 
+@pytest.mark.slow
 def test_fp16_loss_scaling_path():
     """fp16 compute + dynamic loss scaling: trains, tracks the scale, and
     shrinks the scale on a poisoned batch instead of corrupting params."""

@@ -139,6 +139,7 @@ def _loss_decreases(cfg, n_steps=16):
     return task, model, trainer
 
 
+@pytest.mark.slow
 def test_coco_detection_trains(coco_corpus):
     from one_peace_tpu.core.config import load_config
 
@@ -167,6 +168,7 @@ def test_coco_detection_trains(coco_corpus):
     assert 0.0 <= stats["ap"] <= 100.0
 
 
+@pytest.mark.slow
 def test_coco_detection_rpn_proposer_trains(coco_corpus):
     from one_peace_tpu.core.config import load_config
 
@@ -193,6 +195,7 @@ def test_coco_detection_rpn_proposer_trains(coco_corpus):
     assert len(dets) == 1 and "boxes" in dets[0]
 
 
+@pytest.mark.slow
 def test_ade20k_seg_trains(ade_corpus):
     from one_peace_tpu.core.config import load_config
 
@@ -217,6 +220,7 @@ def test_ade20k_seg_trains(ade_corpus):
     assert "miou" in stats and 0.0 <= stats["miou"] <= 100.0
 
 
+@pytest.mark.slow
 def test_k400_video_trains(video_corpus):
     from one_peace_tpu.core.config import load_config
 
@@ -243,6 +247,7 @@ def test_k400_video_trains(video_corpus):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_seg_cli_train_then_evaluate(ade_corpus, tmp_path):
     from one_peace_tpu.cli.evaluate import main as eval_main
     from one_peace_tpu.cli.train import main as train_main
