@@ -1,10 +1,16 @@
 #!/usr/bin/env python
-"""Measure the FULL 4B training step on the real chip (single v5e).
+"""Measure the vision-branch (1.5B) training step on the real chip.
 
 The serving headline (bench.py) is driver-recorded; this script pins the
-TRAINING side: image-branch ITC-style step (forward + backward under
-remat + AdamW update) at the real geometry, bf16 params/activations,
-fp32 optimizer math — the configuration a production finetune runs.
+TRAINING side at the reference's single-accelerator training geometry:
+the 1.5B vision branch (image adapter + 40 layers with the image FFN
+only — what det/seg/video finetuning trains, ref README.md:65-67),
+forward + backward under remat + AdamW, bf16 params/activations.
+
+The FULL 4B model cannot train on one 16 GB chip in ANY framework
+(params+grads+Adam m/v ≈ 32 GB; measured here: XLA asks 21.7 GB with
+bf16 opt state) — 4B training shards over the fsdp axis, which the
+driver's multichip dryrun certifies.
 
   PYTHONPATH=/root/repo:/root/.axon_site python examples/bench_train_4b.py
 
@@ -38,7 +44,9 @@ def main():
     from one_peace_tpu.core.config import ModelConfig
     from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
 
-    cfg = ModelConfig(head_type="val")
+    # head_type="image" prunes to the 1.5B vision branch (the retrieval
+    # model re-derives use_*_moe from head_type, ref :43-51)
+    cfg = ModelConfig(head_type="image")
     cfg.encoder.layers = LAYERS
     cfg.encoder.checkpoint_activations = True  # remat per layer
     model = OnePeaceRetrievalModel(cfg)
@@ -53,7 +61,9 @@ def main():
     imgs = jnp.asarray(np.random.RandomState(0).randn(BATCH, 3, 256, 256),
                        jnp.bfloat16)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, imgs):
         def loss_fn(p):
             emb = model(p, src_images=imgs, encoder_type="image",
@@ -84,7 +94,7 @@ def main():
     # remat ~= 4x fwd matmul work (fwd + recompute + 2x bwd)
     gf_item = 797.3 * 4
     tflops = rate * gf_item / 1000
-    print(f"train 4B image ITC step: {rate:.2f} img/s "
+    print(f"train 1.5B vision-branch ITC step: {rate:.2f} img/s "
           f"({dt/STEPS*1000:.0f} ms/step at B={BATCH}) "
           f"~{tflops:.1f} TFLOP/s = {tflops/197*100:.1f}% MFU", flush=True)
 
