@@ -49,6 +49,7 @@ def main():
     cfg = ModelConfig(head_type="image")
     cfg.encoder.layers = LAYERS
     cfg.encoder.checkpoint_activations = True  # remat per layer
+    cfg.encoder.remat_policy = os.environ.get("BENCH_REMAT", "full")
     model = OnePeaceRetrievalModel(cfg)
     t0 = time.time()
     params = model.init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)

@@ -123,6 +123,11 @@ class EncoderConfig:
     max_positions: int = 1024
     layerdrop: float = 0.0
     checkpoint_activations: bool = False
+    # remat granularity when checkpoint_activations is on: 'full' replays
+    # the whole layer in bwd; 'qkv' additionally saves the named q/k/v
+    # projections so the replay skips the qkv dots + attention fwd
+    # (more memory, less recompute)
+    remat_policy: str = "full"
 
     # attention implementation: 'pallas' (fused flash kernel; falls back
     # to XLA off-TPU; under a multi-device mesh the kernel runs through

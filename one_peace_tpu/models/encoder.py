@@ -123,10 +123,15 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
     b, l, d = x.shape
     h = cfg.attention_heads
     hd = d // h
+    from jax.ad_checkpoint import checkpoint_name
+
     lin = quantized_linear if is_quantized(params["q_proj"]) else linear
-    q = lin(params["q_proj"], x).reshape(b, l, h, hd)
-    k = lin(params["k_proj"], x).reshape(b, l, h, hd)
-    v = lin(params["v_proj"], x).reshape(b, l, h, hd)
+    # named so remat_policy='qkv' can save the projections across the
+    # layer-scan checkpoint (the bwd replay then skips the qkv dots AND
+    # the attention-kernel fwd whose vjp residuals are exactly q/k/v)
+    q = checkpoint_name(lin(params["q_proj"], x), "qkv").reshape(b, l, h, hd)
+    k = checkpoint_name(lin(params["k_proj"], x), "qkv").reshape(b, l, h, hd)
+    v = checkpoint_name(lin(params["v_proj"], x), "qkv").reshape(b, l, h, hd)
     attn = multihead_attention(
         q, k, v, rel_bias, key_padding_mask, scaling=hd**-0.5,
         impl=cfg.attn_impl)
@@ -323,7 +328,16 @@ class FusionEncoder:
             return out, (out if return_all_hiddens else None)
 
         if cfg.checkpoint_activations:
-            body = jax.checkpoint(body)
+            if getattr(cfg, "remat_policy", "full") == "qkv":
+                # save the named qkv projections (+75 MB/layer at B=32,
+                # L=257, d=1536 bf16): the bwd replay skips 3 of the 16
+                # matmul-units per layer and the attention-kernel fwd
+                body = jax.checkpoint(
+                    body,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "qkv"))
+            else:
+                body = jax.checkpoint(body)
 
         scanned = (
             params["layers"],

@@ -191,3 +191,34 @@ def test_val_trimodal_forward(wrapper_and_params):
     assert audio_f is not None and audio_f.shape[2] == cfg.embed_dim
     for f in (text_f, image_f, audio_f):
         assert np.isfinite(np.asarray(f)).all()
+
+
+def test_remat_policies_identical_grads():
+    """checkpoint_activations with remat_policy 'full' vs 'qkv'
+    (save-named-qkv across the layer-scan checkpoint) must produce
+    bit-identical losses and gradients — remat changes scheduling, never
+    math; this guards the checkpoint_name plumbing in the encoder."""
+    import copy
+
+    cfg = tiny_encoder_config()
+    base = ModelWrapper(cfg)
+    params = base.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.random.RandomState(0).randint(5, 90, (2, 7)))
+
+    def grads_for(policy):
+        c = copy.deepcopy(cfg)
+        c.checkpoint_activations = True
+        c.remat_policy = policy
+        wrapper = ModelWrapper(c)
+
+        def loss(p):
+            out, _, _ = wrapper(p, src_tokens=tokens, encoder_type="text")
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    l_full, g_full = grads_for("full")
+    l_qkv, g_qkv = grads_for("qkv")
+    assert float(l_full) == float(l_qkv)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_qkv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
