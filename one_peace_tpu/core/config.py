@@ -297,10 +297,12 @@ class CriterionConfig:
     # PARITY.md (examples/parity_harness.py)
     rpn_sampler: str = "balanced"
     # segmentation (UperNet path): where the pixel CE is computed —
-    # 'stride' (labels subsampled to the stride-4 logit raster) or 'full'
-    # (logits bilinearly upsampled to label resolution, mmseg-exact);
-    # delta measured in PARITY.md
-    seg_loss_at: str = "stride"
+    # 'full' (logits bilinearly upsampled to label resolution, mmseg-
+    # exact; DEFAULT since the 500-step harness rerun: +16 mIoU over
+    # 'stride' under the reference's bilinear-logits eval, PARITY.md) or
+    # 'stride' (labels subsampled to the stride-4 logit raster — cheaper,
+    # but boundary fidelity degrades under the reference eval protocol)
+    seg_loss_at: str = "full"
 
 
 @dataclass

@@ -67,7 +67,7 @@ class SegmentationCriterion:
     def __init__(self, cfg: CriterionConfig, ignore_index: int = 255):
         self.label_smoothing = cfg.label_smoothing
         self.ignore_index = ignore_index
-        self.loss_at = getattr(cfg, "seg_loss_at", "stride")
+        self.loss_at = getattr(cfg, "seg_loss_at", "full")
 
     def _mask2former(self, model, params, batch, rng, deterministic):
         from ..vision.mask2former_loss import mask2former_loss
