@@ -174,6 +174,7 @@ def main():
     # replacing it); BENCH_INT8_ATTN=1 additionally quantizes the
     # self-attention projections (quantize='ffn_attn')
     int8_value = None
+    int8_aud = None
     if os.environ.get("BENCH_INT8", "1") != "0":
         try:
             from one_peace_tpu.ops.quant import quantize_ffn_params
@@ -196,7 +197,24 @@ def main():
                   f"(opt-in): {int8_value:.1f} img/s/chip vs bf16 "
                   f"image-only {bf16_img:.1f} "
                   f"({100*(int8_value/bf16_img-1):+.1f}%)", file=sys.stderr)
+
+            @jax.jit
+            def embed_audio_q(p, w, m):
+                return model(p, src_audios=w, audio_padding_masks=m,
+                             encoder_type="audio")
+
+            fetch(embed_audio_q(params_q, wav, pad))  # compile
+            t0 = time.time()
+            outs_aq = [embed_audio_q(params_q, wav, pad)
+                       for _ in range(STEPS)]
+            fetch(outs_aq[-1])
+            dtq = time.time() - t0
+            int8_aud = STEPS * AUD_BATCH / dtq
+            print(f"# int8-FFN audio serving (opt-in): {int8_aud:.1f} "
+                  f"clip/s/chip vs bf16 audio-only {aud_per_s:.1f} "
+                  f"({100*(int8_aud/aud_per_s-1):+.1f}%)", file=sys.stderr)
         except Exception as e:  # int8 path must never sink the headline
+            int8_aud = None
             print(f"# int8 branch skipped: {e}", file=sys.stderr)
 
     record = {
@@ -213,6 +231,8 @@ def main():
     record["aud_clip_per_s"] = round(aud_per_s, 3)
     if int8_value is not None:
         record["int8_img_per_s"] = round(int8_value, 3)
+    if int8_value is not None and int8_aud is not None:
+        record["int8_clip_per_s"] = round(int8_aud, 3)
     print(json.dumps(record))
 
 
