@@ -292,10 +292,13 @@ class CriterionConfig:
     dcl_al_audio_alpha: float = 0.5
     dcl_logit_scale: float = 2.5
     # detection: RPN objectness sampling — 'balanced' (static reweighting,
-    # the shipped substitution) or 'subsample' (detectron2's literal
-    # 256-anchor random sample as static weights); equivalence measured in
-    # PARITY.md (examples/parity_harness.py)
-    rpn_sampler: str = "balanced"
+    # RPN objectness/box weighting: 'subsample' (detectron2's literal
+    # 256-anchor 1:1 random sample as static weight vectors — DEFAULT
+    # since the 200-step two-seed harness rerun: +0.8 AP consistently,
+    # and it is the reference's exact normalizer semantics; PARITY.md) or
+    # 'balanced' (pos/neg each carry half the weight, normalized per
+    # count — deterministic, no sampler rng)
+    rpn_sampler: str = "subsample"
     # segmentation (UperNet path): where the pixel CE is computed —
     # 'full' (logits bilinearly upsampled to label resolution, mmseg-
     # exact; DEFAULT since the 500-step harness rerun: +16 mIoU over

@@ -33,7 +33,7 @@ class DetectionCriterion:
 
     def __init__(self, cfg: CriterionConfig):
         self.cfg = cfg
-        self.rpn_sampler = getattr(cfg, "rpn_sampler", "balanced")
+        self.rpn_sampler = getattr(cfg, "rpn_sampler", "subsample")
 
     def __call__(self, model, params, batch, rng=None, deterministic=False):
         from ..vision.det_train import detector_training_loss

@@ -161,7 +161,7 @@ def detector_training_loss(detector, params, images, gt_boxes, gt_labels,
                            rng: Optional[jax.Array] = None,
                            proposal_jitter: float = 0.1,
                            mask_stride: int = 1,
-                           rpn_sampler: str = "balanced"):
+                           rpn_sampler: str = "subsample"):
     """Full Cascade-Mask-R-CNN-style training objective (jittable).
 
     images (B, 3, H, W); gt_boxes (B, M, 4); gt_labels (B, M);

@@ -9,10 +9,11 @@ Everything here is fixed-shape and jittable:
 - anchors are a per-level compile-time constant (H*W*A, 4);
 - matching is a dense (N_anchors, M) IoU argmax with the force-match rule
   expressed as an equality test against each GT's best IoU;
-- detectron2's 256-anchor 1:1 pos/neg *sampling* is replaced by balanced
-  re-weighting (pos and neg each contribute half the objectness loss,
-  normalized by their own counts) — the same expected gradient without a
-  data-dependent gather;
+- detectron2's 256-anchor 1:1 pos/neg sampling runs as STATIC-shape
+  random weight vectors ('subsample', the default — literal reference
+  semantics incl. the /256 normalizer, no data-dependent gather); the
+  'balanced' alternative re-weights pos/neg halves per count
+  (deterministic, measured -0.8 AP on the harness — PARITY.md);
 - proposal decode mirrors FCOSHead.decode's host-side contract so the
   cascade/zoo plumbing is proposer-agnostic.
 """
@@ -217,20 +218,19 @@ def _sample_weights(pos, neg, rng, batch_size: int = 256,
 
 
 def rpn_loss(head: RPNHead, params, feats: List[jnp.ndarray], gt_boxes,
-             gt_labels, gt_valid, sampler: str = "balanced",
+             gt_labels, gt_valid, sampler: str = "subsample",
              rng=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """RPN objectness + box losses (detectron2 rpn.py losses with balanced
-    re-weighting replacing the 256-anchor sampler).
+    """RPN objectness + box losses (detectron2 rpn.py losses).
 
     feats: per-level NHWC maps; gt_boxes (B, M, 4); gt_valid (B, M) bool.
     gt_labels is accepted for signature parity with fcos_loss (the RPN is
     class-agnostic).
 
-    sampler: 'balanced' (the shipped static substitution: pos and neg
-    each carry half the objectness weight, normalized per count) or
-    'subsample' (detectron2's literal 256-anchor 1:1 random sample,
-    static-shape via weight vectors; needs ``rng``).  The two reach the
-    same AP on the synthetic equivalence study (PARITY.md)."""
+    sampler: 'subsample' (default — detectron2's literal 256-anchor 1:1
+    random sample as static-shape weight vectors, exact normalizer
+    semantics; needs ``rng``) or 'balanced' (pos and neg each carry half
+    the objectness weight, normalized per count — deterministic, measured
+    -0.8 AP on the 200-step harness, PARITY.md)."""
     outs = head(params, feats)
     anchors = jnp.asarray(head.all_anchors([o.shape[1:3] for o, _ in outs]))
     b = outs[0][0].shape[0]
