@@ -180,37 +180,32 @@ def main():
             from one_peace_tpu.ops.quant import quantize_ffn_params
 
             include_attn = os.environ.get("BENCH_INT8_ATTN", "0") == "1"
+            scope = "FFN+attn" if include_attn else "FFN"
             params_q = quantize_ffn_params(params,
                                            include_attn=include_attn)
 
-            @jax.jit
-            def embed_images_q(p, x):
-                return model(p, src_images=x, encoder_type="image")
-
-            fetch(embed_images_q(params_q, imgs))  # compile
+            # the quantized tree has a different pytree structure, so the
+            # existing jitted embed functions retrace automatically — no
+            # separate _q variants needed
+            fetch(embed_images(params_q, imgs))  # compile
             t0 = time.time()
-            outs_q = [embed_images_q(params_q, imgs) for _ in range(STEPS)]
+            outs_q = [embed_images(params_q, imgs) for _ in range(STEPS)]
             fetch(outs_q[-1])
             dtq = time.time() - t0
             int8_value = STEPS * IMG_BATCH / dtq
-            print(f"# int8-{'FFN+attn' if include_attn else 'FFN'} serving "
+            print(f"# int8-{scope} serving "
                   f"(opt-in): {int8_value:.1f} img/s/chip vs bf16 "
                   f"image-only {bf16_img:.1f} "
                   f"({100*(int8_value/bf16_img-1):+.1f}%)", file=sys.stderr)
 
-            @jax.jit
-            def embed_audio_q(p, w, m):
-                return model(p, src_audios=w, audio_padding_masks=m,
-                             encoder_type="audio")
-
-            fetch(embed_audio_q(params_q, wav, pad))  # compile
+            fetch(embed_audio(params_q, wav, pad))  # compile
             t0 = time.time()
-            outs_aq = [embed_audio_q(params_q, wav, pad)
+            outs_aq = [embed_audio(params_q, wav, pad)
                        for _ in range(STEPS)]
             fetch(outs_aq[-1])
             dtq = time.time() - t0
             int8_aud = STEPS * AUD_BATCH / dtq
-            print(f"# int8-FFN audio serving (opt-in): {int8_aud:.1f} "
+            print(f"# int8-{scope} audio serving (opt-in): {int8_aud:.1f} "
                   f"clip/s/chip vs bf16 audio-only {aud_per_s:.1f} "
                   f"({100*(int8_aud/aud_per_s-1):+.1f}%)", file=sys.stderr)
         except Exception as e:  # int8 path must never sink the headline

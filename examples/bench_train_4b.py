@@ -91,13 +91,19 @@ def main():
     np.asarray(loss)
     dt = time.time() - t0
     rate = STEPS * BATCH / dt
-    # analytic FLOPs: serving fwd ~797.3 GF/img (bench.py); train with
-    # remat ~= 4x fwd matmul work (fwd + recompute + 2x bwd)
-    gf_item = 797.3 * 4
+    # analytic FLOPs: serving fwd ~797.3 GF/img at 40 layers (bench.py's
+    # closed-form count; the non-layer part is <2%), scaled linearly to
+    # BENCH_LAYERS; train under FULL per-layer remat ~= 4x fwd matmul
+    # work (fwd + replay + 2x bwd).  APPROXIMATE: BENCH_REMAT=qkv replays
+    # slightly less than 1x, so its util reads ~1% high; peak 197 is
+    # v5e bf16.
+    gf_item = 797.3 * (LAYERS / 40) * 4
     tflops = rate * gf_item / 1000
-    print(f"train 1.5B vision-branch ITC step: {rate:.2f} img/s "
+    print(f"train {'1.5B vision-branch' if LAYERS == 40 else f'{LAYERS}L'} "
+          f"ITC step: {rate:.2f} img/s "
           f"({dt/STEPS*1000:.0f} ms/step at B={BATCH}) "
-          f"~{tflops:.1f} TFLOP/s = {tflops/197*100:.1f}% MFU", flush=True)
+          f"~{tflops:.1f} TFLOP/s ~= {tflops/197*100:.1f}% of v5e bf16 peak "
+          f"(approx; full-remat FLOP model)", flush=True)
 
 
 if __name__ == "__main__":

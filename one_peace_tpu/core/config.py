@@ -291,8 +291,7 @@ class CriterionConfig:
     dcl_al_text_alpha: float = 0.5
     dcl_al_audio_alpha: float = 0.5
     dcl_logit_scale: float = 2.5
-    # detection: RPN objectness sampling — 'balanced' (static reweighting,
-    # RPN objectness/box weighting: 'subsample' (detectron2's literal
+    # detection: RPN objectness/box weighting — 'subsample' (detectron2's literal
     # 256-anchor 1:1 random sample as static weight vectors — DEFAULT
     # since the 200-step two-seed harness rerun: +0.8 AP consistently,
     # and it is the reference's exact normalizer semantics; PARITY.md) or

@@ -9,11 +9,13 @@ vision-transfer apps:
   vision/det_train.py (FCOS or RPN proposer + cascade stages + mask
   head) over static padded GT (ref det/lazyconfig_train_net.py training
   loop, detectron2 GeneralizedRCNN losses);
-- ``segmentation_criterion`` — pixel cross-entropy with ignore_index,
-  computed at the UperNet output stride against stride-subsampled labels
-  (mmseg upsamples logits to label resolution instead
-  — ref seg/train.py + decode_head loss_decode; computing at stride-4
-  avoids materializing a (B, H, W, 150) fp32 logit volume);
+- ``segmentation_criterion`` — pixel cross-entropy with ignore_index;
+  the default ``seg_loss_at='full'`` bilinearly upsamples logits to label
+  resolution before the CE (mmseg-exact, ref seg/train.py + decode_head
+  loss_decode — costs a (B, H, W, 150) fp32 volume; the 500-step harness
+  showed +16 mIoU over the stride-4 raster, PARITY.md); ``'stride'``
+  subsamples labels to the stride-4 logit raster when that volume does
+  not fit;
 - ``video_classify_criterion`` — CE with label smoothing over clip
   logits (ref video/train.py, mmaction2 recognizer cls_head loss).
 """
@@ -56,7 +58,9 @@ class DetectionCriterion:
 
 @CRITERIONS.register("segmentation_criterion")
 class SegmentationCriterion:
-    """UperNet path: CE over the stride-4 logit map, ignore_index-masked.
+    """UperNet path: ignore_index-masked CE, by default over logits
+    bilinearly upsampled to label resolution (seg_loss_at='full',
+    mmseg-exact; 'stride' computes on the stride-4 raster instead).
     Mask2Former path (model.is_mask2former): Hungarian-matched set losses
     (cls CE + point-sampled mask BCE + dice, deep supervision) per the
     reference's mmdet Mask2FormerHead training config — GT instance masks

@@ -127,8 +127,9 @@ def _attention(params, cfg: EncoderConfig, x, rel_bias, key_padding_mask,
 
     lin = quantized_linear if is_quantized(params["q_proj"]) else linear
     # named so remat_policy='qkv' can save the projections across the
-    # layer-scan checkpoint (the bwd replay then skips the qkv dots AND
-    # the attention-kernel fwd whose vjp residuals are exactly q/k/v)
+    # layer-scan checkpoint (the bwd replay then skips the three qkv
+    # dots; the attention kernel still replays — its vjp residuals
+    # include the fwd output/normalizer, which are not saved)
     q = checkpoint_name(lin(params["q_proj"], x), "qkv").reshape(b, l, h, hd)
     k = checkpoint_name(lin(params["k_proj"], x), "qkv").reshape(b, l, h, hd)
     v = checkpoint_name(lin(params["v_proj"], x), "qkv").reshape(b, l, h, hd)
@@ -331,7 +332,8 @@ class FusionEncoder:
             if getattr(cfg, "remat_policy", "full") == "qkv":
                 # save the named qkv projections (+75 MB/layer at B=32,
                 # L=257, d=1536 bf16): the bwd replay skips 3 of the 16
-                # matmul-units per layer and the attention-kernel fwd
+                # matmul-units per layer (measured +1.6% train at B=16,
+                # OOM at B=32 single-chip — PARITY.md)
                 body = jax.checkpoint(
                     body,
                     policy=jax.checkpoint_policies.save_only_these_names(

@@ -240,7 +240,12 @@ def rpn_loss(head: RPNHead, params, feats: List[jnp.ndarray], gt_boxes,
         [d.reshape(b, -1, 4) for _, d in outs], axis=1)  # (B, N, 4)
 
     if sampler == "subsample" and rng is None:
-        rng = jax.random.PRNGKey(0)
+        # a silent fixed-key fallback would draw the SAME anchor subsample
+        # every step — correlated sampling that quietly degrades training
+        raise ValueError(
+            "rpn_loss(sampler='subsample') needs a per-step rng; thread "
+            "one through detector_training_loss, or set "
+            "criterion.rpn_sampler='balanced' for the rng-free weighting")
 
     def per_image(obj, deltas, gtb, gtv, key):
         iou = _box_iou(anchors, gtb)  # (N, M)

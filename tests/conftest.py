@@ -28,3 +28,37 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# persistent XLA:CPU compile cache: repeated suite runs skip most of the
+# compile wall-clock.  The dir is keyed by a CPU-feature fingerprint
+# because CPU AOT entries bake in the COMPILE machine's features and can
+# SIGILL/SIGABRT when loaded on a different host (seen with a stale
+# /tmp cache after a machine change).
+import hashlib  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as f:
+        flags = next((ln for ln in f if ln.startswith("flags")), "")
+    tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+except OSError:
+    tag = "nofp"
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_tests_{tag}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast tier by default: skip slow-marked tests unless the user gave
+    an explicit -m expression, or named a specific test node id (an
+    addopts-level -m filter would silently deselect explicitly-requested
+    tests and report green having run nothing)."""
+    if config.getoption("-m"):
+        return
+    if any("::" in a for a in config.invocation_params.args):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: run with -m slow, or name the test node id")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -195,6 +195,7 @@ def test_resume_with_midepoch_validation_and_best_tracking(
     assert calls[0][1] is not None, "best metric lost across resume"
 
 
+@pytest.mark.slow
 def test_train_cli_profiler_capture(corpus, tmp_path):
     """common.profile_dir captures a jax.profiler trace over the
     [profile_start, profile_stop) update window."""

@@ -76,6 +76,7 @@ def tiny_m2f():
     return seg, params
 
 
+@pytest.mark.slow
 def test_mask2former_forward_shapes(tiny_m2f):
     seg, params = tiny_m2f
     imgs = jnp.asarray(np.random.RandomState(0).rand(2, 3, 64, 64),

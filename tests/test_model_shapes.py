@@ -193,6 +193,7 @@ def test_val_trimodal_forward(wrapper_and_params):
         assert np.isfinite(np.asarray(f)).all()
 
 
+@pytest.mark.slow
 def test_remat_policies_identical_grads():
     """checkpoint_activations with remat_policy 'full' vs 'qkv'
     (save-named-qkv across the layer-scan checkpoint) must produce

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from helpers import tiny_encoder_config
 from test_vision_checkpoint import (
@@ -15,6 +16,7 @@ from one_peace_tpu.vision.zoo import (
 )
 
 
+@pytest.mark.slow
 def test_detector_build_load_detect():
     rs = np.random.RandomState(0)
     det = OnePeaceDetector(
