@@ -7,7 +7,7 @@ be the rank-ordered concatenation of only the valid rows."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -34,7 +34,7 @@ def test_padded_all_gather_on_device_mesh():
             mesh=mesh,
             in_specs=(P("dp"), P("dp")),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return f(vals, valid)
 
