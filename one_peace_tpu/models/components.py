@@ -172,16 +172,35 @@ def init_conv2d(key, in_ch: int, out_ch: int, kernel: int, bias: bool = True,
 def conv2d(params, x, stride: int, padding="VALID"):
     """NHWC conv; kernel (kh, kw, in, out).
 
+    Non-overlapping convs (stride == kernel, the patch-embed case) run as
+    an EXACT patchify reshape + one dense dot instead: XLA's TPU conv
+    with tiny input channels (e.g. the 4x4x3 hMLP stem) wastes most of
+    the MXU on channel padding — profiled at ~10% of the whole 40-layer
+    image forward before this path (PARITY.md r5).  The patch flatten
+    order (kh, kw, in) matches the (kh, kw, in, out) kernel reshape, so
+    weights are bit-compatible with the conv formulation.
+
     No ``preferred_element_type``: with low-precision inputs it breaks the
     conv VJP (cotangent comes back fp32 against a bf16/fp16 kernel), and
     the TPU MXU accumulates partial sums in fp32 internally regardless —
     only the output store is low precision."""
-    y = jax.lax.conv_general_dilated(
-        x, params["w"].astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    w = params["w"]
+    kh, kw, cin, cout = w.shape
+    b, h, wd, c = x.shape
+    if (kh == stride and kw == stride and padding == "VALID"
+            and h % stride == 0 and wd % stride == 0):
+        ho, wo = h // stride, wd // stride
+        patches = x.reshape(b, ho, stride, wo, stride, c)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, ho, wo, stride * stride * c)
+        y = patches @ w.reshape(kh * kw * cin, cout).astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype),
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if "b" in params:
         y = y + params["b"].astype(y.dtype)
     return y
