@@ -311,6 +311,13 @@ class FusionEncoder:
             else jnp.zeros((cfg.layers,), jnp.uint32)
         )
 
+        # NOTE (r5 layout experiments, PARITY.md): the scan carry keeps
+        # its XLA-chosen seq-major {2,0,1} layout, which lowers 3 of the
+        # 4 attention projections as ~54%-efficient conv fusions.  A 2-D
+        # (B*L, D) carry (forcing row-major) measured -6.8% — the forced
+        # boundary reshapes cost more than the layout win — and an
+        # optimization_barrier before the dots was a no-op; both removed.
+
         def body(carry, scanned):
             layer_params, layer_bias, layer_dpr, layer_rng = scanned
             bias = layer_bias if per_layer_bias else shared_bias
@@ -386,8 +393,6 @@ class FusionEncoder:
                 checkpoint_stages=cfg.checkpoint_activations)
             hiddens = None
         else:
-            import os
-
             # unroll>1 lets XLA fuse across layer boundaries but LOSES on
             # chip (proxy fwd B=32: 460.5 img/s at 1, 432.2 at 2, 341.5
             # at 4 — the bigger program blows VMEM locality); keep 1
