@@ -152,6 +152,7 @@ def main(argv: Optional[list] = None) -> int:
 
     tracing = False
     last_val_step = -1
+    last_save_step = -1
 
     def run_validation():
         nonlocal last_val_step
@@ -180,16 +181,22 @@ def main(argv: Optional[list] = None) -> int:
                 for k, v in metrics.items():
                     log_scalar(k, v)
                 progress.log(metrics, trainer.step)
-                if _should_validate(cfg, task, trainer.step, epoch,
-                                    end_of_epoch=False):
+                # interval actions fire once per OPTIMIZER update: under
+                # gradient accumulation trainer.step holds its value for
+                # update_freq micro-batches, so gate on it advancing
+                if (trainer.step != last_val_step
+                        and _should_validate(cfg, task, trainer.step, epoch,
+                                             end_of_epoch=False)):
                     # mid-epoch validation (ref train.py:345-358:
                     # validate_interval_updates + validate-on-interval-save);
                     # runs BEFORE the interval save so a resumed state
                     # carries the updated best metric
                     run_validation()
                 if (cfg.checkpoint.save_interval_updates
+                        and trainer.step != last_save_step
                         and trainer.step % cfg.checkpoint.save_interval_updates == 0):
                     save(trainer.step)
+                    last_save_step = trainer.step
                 if trainer.step >= max_update:
                     break
             progress.print(agg.as_dict(), trainer.step)

@@ -313,7 +313,10 @@ class OptimizerConfig:
     adam_betas: Tuple[float, float] = (0.9, 0.98)
     adam_eps: float = 1e-8
     weight_decay: float = 0.05
+    # Adan (ref optim/adan.py:53-223, the reference's pretraining
+    # optimizer option): scale_by_adan + proximal (post-update) decay
     use_adan: bool = False
+    adan_betas: Tuple[float, float, float] = (0.98, 0.92, 0.99)
 
 
 @dataclass

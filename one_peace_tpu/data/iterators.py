@@ -58,18 +58,23 @@ class EpochBatchIterator:
 
     # ------------------------------------------------------------------
 
-    def _batches_for_epoch(self, epoch: int) -> List[List[int]]:
+    def _batches_for_epoch(self, epoch: int,
+                           shuffle: Optional[bool] = None) -> List[List[int]]:
         n = len(self.dataset)
         order = list(range(n))
-        if self.shuffle:
+        if self.shuffle if shuffle is None else shuffle:
             rng = np.random.RandomState(self.seed + epoch)
             order = list(rng.permutation(n))
         # pad so every shard gets equal batches (ref base_task.py
-        # ensure_equal_batch): repeat from the front
+        # ensure_equal_batch): cycle the order as many times as needed —
+        # a single `order[:pad]` underfills when the dataset is smaller
+        # than half the global batch, yielding short/unequal shard
+        # batches (new jit shapes; desynced multi-host collectives)
         total = self.num_shards * self.batch_size
         if self.ensure_equal_batch and n % total != 0:
-            pad = total - n % total
-            order = order + order[:pad]
+            target = n + (total - n % total)
+            reps = -(-target // n)
+            order = (order * reps)[:target]
         elif self.skip_remainder_batch and n % total != 0:
             order = order[: n - n % total]
         mine = strided_slice(order, self.shard_id, self.num_shards)
@@ -80,7 +85,9 @@ class EpochBatchIterator:
         return len(self._batches_for_epoch(self.epoch))
 
     def next_epoch_itr(self, shuffle: Optional[bool] = None) -> Iterator:
-        batches = self._batches_for_epoch(self.epoch)
+        # ``shuffle`` overrides the constructor setting for THIS epoch
+        # (ref fairseq EpochBatchIterator.next_epoch_itr(shuffle=...))
+        batches = self._batches_for_epoch(self.epoch, shuffle=shuffle)
         # resume mid-epoch from the absolute consumed offset: ``_consumed``
         # keeps counting from ``start`` so a second preemption during the
         # resumed epoch still records the true position

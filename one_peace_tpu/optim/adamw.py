@@ -183,7 +183,26 @@ def build_optimizer(
     params,
     num_layers: int = 40,
 ) -> optax.GradientTransformation:
-    """AdamW (+ optional layer decay, + global clip) as one optax chain."""
+    """AdamW or Adan (+ optional layer decay, + global clip) as one optax
+    chain.  ``optimizer.use_adan`` (or ``_name: adan``) selects Adan
+    (ref optim/adan.py:53-223) — same clip/layer-decay plumbing, but
+    scale_by_adan and the proximal post-update decay replace
+    scale_by_adam + decoupled decay."""
+    if getattr(cfg, "use_adan", False) or cfg._name == "adan":
+        from .adan import proximal_weight_decay, scale_by_adan
+
+        chain = []
+        if opt_cfg.clip_norm and opt_cfg.clip_norm > 0:
+            chain.append(optax.clip_by_global_norm(opt_cfg.clip_norm))
+        chain.append(scale_by_adan(tuple(cfg.adan_betas), cfg.adam_eps))
+        if opt_cfg.layer_decay and opt_cfg.layer_decay < 1.0:
+            chain.append(scale_by_tree(
+                layer_decay_scales(params, num_layers, opt_cfg.layer_decay)))
+        chain.append(optax.scale_by_learning_rate(lr_schedule))
+        if cfg.weight_decay:
+            chain.append(proximal_weight_decay(cfg.weight_decay, lr_schedule))
+        return optax.chain(*chain)
+
     chain = []
     if opt_cfg.clip_norm and opt_cfg.clip_norm > 0:
         chain.append(optax.clip_by_global_norm(opt_cfg.clip_norm))

@@ -99,7 +99,12 @@ class Trainer:
             out_shardings=_opt_state_shardings(tx, self.mesh, self.params),
         )(self.params)
 
+        # ``step`` counts OPTIMIZER updates (the reference's num_updates
+        # unit — what max_update, lr schedules, validate/save intervals
+        # and the EMA all mean); ``_micro`` counts train_step calls.
+        # They differ only under gradient accumulation (update_freq > 1).
         self.step = 0
+        self._micro = 0
         self.train_time = 0.0  # cumulative train seconds (ref trainer.py:365-400)
         self._rng = jax.random.PRNGKey(cfg.common.seed + 1)
         self._train_step = self._build_train_step()
@@ -197,21 +202,31 @@ class Trainer:
         round-trip, which serializes dispatch against execution."""
         with jax.profiler.TraceAnnotation("train_step"):
             with jax.profiler.TraceAnnotation("batch_transfer"):
-                batch = jax.tree.map(jnp.asarray, batch)
+                # host->sharded in ONE hop: an intermediate jnp.asarray
+                # would first materialize the whole batch on device 0 and
+                # then reshard device-to-device
+                batch = jax.tree.map(
+                    lambda v: v if isinstance(v, jax.Array) else np.asarray(v),
+                    batch)
                 batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
             self._rng, rng = jax.random.split(self._rng)
             t0 = time.time()
             self.params, self.opt_state, metrics, self.loss_scale = self._train_step(
-                self.params, self.opt_state, jnp.asarray(self.step), batch, rng,
-                self.loss_scale)
+                self.params, self.opt_state, jnp.asarray(self._micro), batch,
+                rng, self.loss_scale)
             skipped = metrics["skipped"]  # device scalar; gates the EMA
             if fetch_metrics:
                 metrics = {k: float(v) for k, v in metrics.items()}
             # without a fetch this measures dispatch, not execution
             metrics["step_time"] = time.time() - t0
             self.train_time += metrics["step_time"]
-            self.step += 1
-            if self.ema is not None:
+            self._micro += 1
+            self.step = self._micro // self._update_freq
+            if (self.ema is not None
+                    and self._micro % self._update_freq == 0):
+                # EMA decays once per OPTIMIZER update (params only move
+                # on accumulation boundaries; stepping it per micro-batch
+                # would shorten the shadow horizon update_freq-fold)
                 with jax.profiler.TraceAnnotation("ema_update"):
                     self.ema.step(self.params, self.step, skipped)
             return metrics
@@ -227,7 +242,8 @@ class Trainer:
         (``metrics.fetch_once``).  ``fetch=True`` restores the eager
         float dict for interactive use."""
         criterion = criterion or self.criterion
-        batch = jax.tree.map(jnp.asarray, batch)
+        batch = jax.tree.map(
+            lambda v: v if isinstance(v, jax.Array) else np.asarray(v), batch)
         batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
         key = (id(criterion), tuple(sorted(
             (k, np.shape(v), str(getattr(v, "dtype", type(v))))
@@ -277,6 +293,10 @@ class Trainer:
         oshard = _opt_state_shardings(self.tx, self.mesh, self.params)
         self.opt_state = jax.tree.map(jax.device_put, state["opt_state"], oshard)
         self.step = int(state["step"])
+        # saves land on accumulation boundaries (the cli fires interval
+        # actions only when step advances), so micro is derivable — no
+        # extra checkpoint key, old bundles restore unchanged
+        self._micro = self.step * self._update_freq
         self.train_time = float(state.get("train_time", 0.0))
         self._rng = jax.device_put(
             state["rng"], NamedSharding(self.mesh, P()))
@@ -316,9 +336,15 @@ def _opt_state_shardings(tx, mesh, params):
 
     def leaf_shard(kp, leaf):
         key = tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        # LONGEST suffix match: a param path that is itself a suffix of
+        # another param's path (e.g. ('head','w') vs ('decoder','head',
+        # 'w')) must not capture the longer param's state leaves
+        best = None
+        best_len = 0
         for pkey, s in flat_params.items():
-            if len(pkey) <= len(key) and key[-len(pkey):] == pkey:
-                return s
-        return NamedSharding(mesh, P())
+            if (len(pkey) > best_len and len(pkey) <= len(key)
+                    and key[-len(pkey):] == pkey):
+                best, best_len = s, len(pkey)
+        return best if best is not None else NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(leaf_shard, shapes)

@@ -47,7 +47,11 @@ def _unflatten(flat: Dict[str, Any]):
         if not isinstance(node, dict):
             return node
         keys = list(node.keys())
-        if keys and all(k.isdigit() for k in keys):
+        # only a CONTIGUOUS 0..n-1 digit key set round-trips a sequence;
+        # a gapped digit-keyed dict (e.g. after a branch was dropped)
+        # must stay a dict instead of raising KeyError on the gap
+        if (keys and all(k.isdigit() for k in keys)
+                and sorted(int(k) for k in keys) == list(range(len(keys)))):
             return [listify(node[str(i)]) for i in range(len(keys))]
         return {k: listify(v) for k, v in node.items()}
 
@@ -222,8 +226,11 @@ def save_best_k(ckpt_dir: str, key: str, value: float, maximize: bool,
     if k <= 0 or not np.isfinite(value):
         return None
     value = round(float(value), 4)
-    ranked = sorted(best_k_checkpoints(ckpt_dir, key),
-                    key=lambda t: (t[0], t[1]), reverse=maximize)
+    # rank best-first in BOTH directions; at equal values the later step
+    # is the keeper (so the tie-break must be on -step, not reverse-step)
+    rank_key = (lambda t: (-t[0], -t[1])) if maximize else \
+        (lambda t: (t[0], -t[1]))
+    ranked = sorted(best_k_checkpoints(ckpt_dir, key), key=rank_key)
     if len(ranked) >= k:
         worst = ranked[k - 1][0]
         if (value <= worst) if maximize else (value >= worst):
@@ -231,9 +238,8 @@ def save_best_k(ckpt_dir: str, key: str, value: float, maximize: bool,
     path = os.path.join(
         ckpt_dir, f"checkpoint.best_{key}_{value:.4f}.step{step}.npz")
     save_params(path, params, metadata={key: float(value), "step": step})
-    # prune beyond k; at equal values the later step is the keeper
-    ranked = sorted(best_k_checkpoints(ckpt_dir, key),
-                    key=lambda t: (t[0], t[1]), reverse=maximize)
+    # prune beyond k
+    ranked = sorted(best_k_checkpoints(ckpt_dir, key), key=rank_key)
     for _, _, stale in ranked[k:]:
         if os.path.abspath(stale) != os.path.abspath(path):
             try:

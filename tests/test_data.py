@@ -362,3 +362,37 @@ def test_audio_tasks_interpolate_model_conv_spec(tmp_path):
                            cfg.model.encoder.audio_adapter.feature_encoder_spec)
     assert item["audio_padding_mask"].shape == (t + 1,)
     assert item["audio_mask_indices"].shape == (t + 1,)
+
+
+def test_iterator_equal_batches_on_tiny_dataset():
+    """ensure_equal_batch must cycle the order enough times when the
+    dataset is smaller than the global batch — a single head-slice pad
+    underfills and yields short/unequal per-shard batches."""
+    from one_peace_tpu.data.iterators import EpochBatchIterator
+
+    data = list(range(10))
+    it = EpochBatchIterator(data, lambda s: s, batch_size=32, seed=0,
+                            prefetch=0, ensure_equal_batch=True)
+    batches = list(it.next_epoch_itr())
+    assert len(batches) == 1 and len(batches[0]) == 32
+    # sharded: every shard sees the same number of full batches
+    shard_lens = set()
+    for shard in range(4):
+        its = EpochBatchIterator(data, lambda s: s, batch_size=8, seed=0,
+                                 prefetch=0, shard_id=shard, num_shards=4,
+                                 ensure_equal_batch=True)
+        bs = list(its.next_epoch_itr())
+        shard_lens.add((len(bs),) + tuple(len(b) for b in bs))
+    assert len(shard_lens) == 1, shard_lens
+
+
+def test_iterator_shuffle_override():
+    """next_epoch_itr(shuffle=False) must yield sequential order even on
+    a shuffling iterator (ref fairseq next_epoch_itr semantics)."""
+    from one_peace_tpu.data.iterators import EpochBatchIterator
+
+    data = list(range(8))
+    it = EpochBatchIterator(data, lambda s: s, batch_size=4, seed=3,
+                            prefetch=0, shuffle=True)
+    seq = [x for b in it.next_epoch_itr(shuffle=False) for x in b]
+    assert seq == data

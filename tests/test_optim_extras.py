@@ -106,3 +106,28 @@ def test_randaugment_runs():
     out = GaussianBlur(prob=1.0, seed=1)(out)
     assert out.size == (64, 64)
     assert np.asarray(out).dtype == np.uint8
+
+
+def test_use_adan_selects_adan():
+    """optimizer.use_adan must actually route build_optimizer to the Adan
+    chain (it was silently ignored before r5) — detectable by the AdanState
+    in the optimizer state and by finite, param-moving updates."""
+    import jax
+    import jax.numpy as jnp
+
+    from one_peace_tpu.core.config import (
+        OptimizationConfig, OptimizerConfig)
+    from one_peace_tpu.optim.adamw import build_optimizer
+    from one_peace_tpu.optim.adan import AdanState
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    cfg = OptimizerConfig(use_adan=True)
+    tx = build_optimizer(cfg, OptimizationConfig(clip_norm=1.0),
+                         lambda step: 1e-3, params)
+    state = tx.init(params)
+    assert any(isinstance(s, AdanState) for s in jax.tree.leaves(
+        state, is_leaf=lambda x: isinstance(x, AdanState))), state
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, state = tx.update(grads, state, params)
+    assert all(bool(jnp.isfinite(u).all()) for u in jax.tree.leaves(updates))
+    assert float(jnp.abs(updates["w"]).max()) > 0

@@ -100,3 +100,14 @@ def test_unavailable_sinks_degrade_to_noop(tmp_path):
         s.log_stats("train", {"loss": 1.0}, 1)
         s.close()
     assert isinstance(sinks[1], WandbSink)
+
+
+def test_save_best_k_minimize_tie_keeps_later_step(tmp_path):
+    """At equal (rounded) values the LATER step is the keeper in BOTH
+    directions — the minimize path used to evict the newer export."""
+    d = str(tmp_path)
+    save_best_k(d, "loss", 0.5, False, 2, PARAMS, 100)
+    save_best_k(d, "loss", 0.5, False, 2, PARAMS, 200)
+    save_best_k(d, "loss", 0.4, False, 2, PARAMS, 300)
+    kept = {(v, s) for v, s, _ in best_k_checkpoints(d, "loss")}
+    assert kept == {(0.4, 300), (0.5, 200)}, kept

@@ -1,5 +1,6 @@
 """End-to-end training smoke tests on the virtual CPU mesh."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -181,9 +182,52 @@ def test_grad_accumulation_matches_large_batch():
     trainer.train_step(batch)  # micro-step 1: no param change
     mid = np.asarray(trainer.params["text_proj"]["w"])
     np.testing.assert_array_equal(before, mid)
+    # trainer.step counts OPTIMIZER updates (the reference's num_updates
+    # unit that max_update / schedules / intervals mean) — after one
+    # micro-batch of a 2-batch accumulation, no update has happened yet
+    assert trainer.step == 0
     trainer.train_step(batch)  # micro-step 2: applied
     after = np.asarray(trainer.params["text_proj"]["w"])
     assert not np.array_equal(mid, after)
+    assert trainer.step == 1
+    trainer.train_step(batch)
+    assert trainer.step == 1  # mid-accumulation again
+
+
+def test_ema_decays_once_per_optimizer_update():
+    """Under gradient accumulation the EMA shadow must decay once per
+    OPTIMIZER update, not once per micro-batch (the reference's
+    ema_module applies decay per num_updates)."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    cfg.optimization.update_freq = 2
+    cfg.ema.store_ema = True
+    cfg.ema.ema_decay = 0.5  # coarse so any spurious decay is visible
+    model = OnePeaceRetrievalModel(cfg.model)
+    trainer = Trainer(cfg, model, criterion=build_criterion(cfg.criterion))
+    trainer.train_step(batch)
+    trainer.train_step(batch)  # one full update; shadow decays once here
+    assert trainer.step == 1
+    after_update = np.asarray(
+        jax.device_get(trainer.ema.shadow["text_proj"]["w"]), np.float32)
+    trainer.train_step(batch)  # mid-accumulation: params do NOT move
+    assert trainer.step == 1
+    mid_accum = np.asarray(
+        jax.device_get(trainer.ema.shadow["text_proj"]["w"]), np.float32)
+    # the shadow trails the params; a per-micro-batch decay here would
+    # pull it further toward the (unchanged) params — it must not move
+    np.testing.assert_array_equal(after_update, mid_accum)
 
 
 @pytest.mark.slow
