@@ -283,6 +283,13 @@ class TaskConfig:
 class CriterionConfig:
     _name: str = ""
     label_smoothing: float = 0.0
+    # classify_criterion: BCE-with-logits over multi-hot targets instead
+    # of soft-target CE (ref classify_loss.py:40-73 use_multi_label; the
+    # FSD50K and VQA recipes set it)
+    use_multi_label: bool = False
+    # hinge_criterion (AQA): answers per question — consumed by BOTH the
+    # criterion and AqaTask.valid_step so train/eval can't disagree
+    num_choices: int = 4
     dcl_text_alpha: float = 0.5
     dcl_image_alpha: float = 1.0
     dcl_audio_alpha: float = 1.0

@@ -242,8 +242,13 @@ class AudioTextPretrainCriterion:
 class ClassifyCriterion:
     """CE / BCE multi-label / soft targets (ref classify_loss.py:40-73)."""
 
-    def __init__(self, cfg: CriterionConfig, use_multi_label: bool = False):
+    def __init__(self, cfg: CriterionConfig, use_multi_label: Optional[bool] = None):
         self.label_smoothing = cfg.label_smoothing
+        # config-driven (criterion.use_multi_label — the FSD50K/VQA
+        # recipes need BCE, ref run_scripts/{fsd50k,vqa}/base.yaml:16);
+        # the kwarg stays for direct construction
+        if use_multi_label is None:
+            use_multi_label = getattr(cfg, "use_multi_label", False)
         self.use_multi_label = use_multi_label
 
     def __call__(self, model, params, batch, rng=None, deterministic=False,
@@ -294,9 +299,10 @@ class HingeCriterion:
     """AQA multiple choice (ref hinge_loss.py:25-60)."""
 
     def __init__(self, cfg: CriterionConfig, margin: float = 1.0,
-                 num_choices: int = 4):
+                 num_choices: Optional[int] = None):
         self.margin = margin
-        self.num_choices = num_choices
+        self.num_choices = (getattr(cfg, "num_choices", 4)
+                            if num_choices is None else num_choices)
 
     def __call__(self, model, params, batch, rng=None, deterministic=False):
         src_tokens = batch["src_tokens"]  # (B*C, Lt) -- one row per choice

@@ -112,9 +112,11 @@ def from_pretrained(
     utils/checkpoint_convert) or a native ``.npz`` of flat params.
 
     ``quantize`` selects the int8 serving path (ops/quant.py): ``"ffn"``
-    converts the per-modality FFN projections (+23% measured on v5e,
-    max emb err ~2e-4), ``"ffn_attn"`` additionally converts the
-    self-attention q/k/v/out projections.  ``"none"`` (default) keeps
+    converts the per-modality FFN projections (measured on the full 4B
+    model on v5e: +8.7% image / +17.9% audio throughput, max emb err
+    ~5e-4 — PARITY.md); ``"ffn_attn"`` additionally converts the
+    self-attention q/k/v/out projections (measured SLOWER than ffn-only
+    at L=257; kept for experimentation).  ``"none"`` (default) keeps
     exact parity numerics.
     """
     built_default_model_cfg = model_cfg is None

@@ -67,3 +67,31 @@ def allsum(local) -> np.ndarray:
 
     return np.asarray(
         multihost_utils.process_allgather(np.asarray(local))).sum(axis=0)
+
+
+# --- eval-merge wrappers -----------------------------------------------
+#
+# The mesh eval loops feed IDENTICAL global batches on every process (the
+# SPMD convenience path: each host supplies the full global array and jax
+# transfers only its addressable shards), so per-process accumulations
+# are REPLICAS — cross-process gathering them would double-count every
+# sample P times.  The reducers therefore merge through these wrappers,
+# which only gather when the eval data was genuinely process-sharded
+# (an eval driver that feeds per-process shards via
+# make_array_from_process_local_data must call
+# set_process_sharded_eval(True) first).
+
+_PROCESS_SHARDED_EVAL = False
+
+
+def set_process_sharded_eval(flag: bool) -> None:
+    global _PROCESS_SHARDED_EVAL
+    _PROCESS_SHARDED_EVAL = bool(flag)
+
+
+def eval_gather_ragged(local: np.ndarray) -> np.ndarray:
+    return gather_ragged(local) if _PROCESS_SHARDED_EVAL else np.asarray(local)
+
+
+def eval_allsum(local) -> np.ndarray:
+    return allsum(local) if _PROCESS_SHARDED_EVAL else np.asarray(local)

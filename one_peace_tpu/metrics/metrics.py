@@ -49,8 +49,13 @@ class Recall:
         self.image_logits_list.append(image_logits)
 
     def merge_results(self, output_predict: bool = False) -> Dict:
-        from .gather import gather_ragged
+        from .gather import eval_gather_ragged
 
+        if not self.image_ids_list:  # no valid batches accumulated
+            return {"txt_r1": 0.0, "txt_r5": 0.0, "txt_r10": 0.0,
+                    "txt_r_mean": 0.0, "img_count": 0,
+                    "img_r1": 0.0, "img_r5": 0.0, "img_r10": 0.0,
+                    "img_r_mean": 0.0, "txt_count": 0, "r_mean": 0.0}
         got = fetch_once({
             "ti": self.text_ids, "tl": self.text_logits,
             "ii": self.image_ids_list, "il": self.image_logits_list})
@@ -59,9 +64,9 @@ class Recall:
             [np.asarray(x, np.float32) for x in got["tl"]])
         # multi-host: each process holds its shard of the eval set; gather
         # variable-length results in rank order (ref data_utils.py:50-86)
-        image_ids = gather_ragged(np.concatenate(
+        image_ids = eval_gather_ragged(np.concatenate(
             [np.asarray(x) for x in got["ii"]]))
-        image_logits = gather_ragged(np.concatenate(
+        image_logits = eval_gather_ragged(np.concatenate(
             [np.asarray(x, np.float32) for x in got["il"]]))
         sim_i2t = image_logits @ self.text_logits.T
         return self.retrieval_eval(image_ids, sim_i2t, output_predict)
@@ -119,11 +124,11 @@ class Accuracy:
             self.total += len(targets)
 
     def merge_results(self) -> Dict:
-        from .gather import allsum
+        from .gather import eval_allsum
 
         ncorrect = float(sum(float(x) for x in fetch_once(self.ncorrect_list)))
-        ncorrect = float(allsum(ncorrect))
-        total = int(allsum(self.total))
+        ncorrect = float(eval_allsum(ncorrect))
+        total = int(eval_allsum(self.total))
         return {"accuracy": 100.0 * ncorrect / max(total, 1),
                 "count": total}
 
@@ -152,10 +157,10 @@ class IouAcc:
         self.total += len(ious)
 
     def merge_results(self) -> Dict:
-        from .gather import allsum
+        from .gather import eval_allsum
 
-        ncorrect = float(allsum(self.ncorrect))
-        total = int(allsum(self.total))
+        ncorrect = float(eval_allsum(self.ncorrect))
+        total = int(eval_allsum(self.total))
         return {"acc@0.5": 100.0 * ncorrect / max(total, 1),
                 "count": total}
 
@@ -172,12 +177,14 @@ class MAP:
     def merge_results(self) -> Dict:
         from sklearn.metrics import average_precision_score
 
-        from .gather import gather_ragged
+        from .gather import eval_gather_ragged
 
+        if not self.logits:  # no valid batches accumulated
+            return {"map": 0.0, "count": 0}
         got = fetch_once({"l": self.logits, "t": self.targets})
-        logits = gather_ragged(np.concatenate(
+        logits = eval_gather_ragged(np.concatenate(
             [np.asarray(x, np.float32) for x in got["l"]]))
-        targets = gather_ragged(np.concatenate(
+        targets = eval_gather_ragged(np.concatenate(
             [np.asarray(x, np.float32) for x in got["t"]]))
         preds = 1.0 / (1.0 + np.exp(-logits))
         ap = average_precision_score(targets, preds, average=None)
@@ -223,10 +230,10 @@ class MIoU:
         self.union += cm.sum(0) + cm.sum(1) - inter
 
     def merge_results(self) -> Dict:
-        from .gather import allsum
+        from .gather import eval_allsum
 
-        intersection = allsum(self.intersection)
-        union = allsum(self.union)
+        intersection = eval_allsum(self.intersection)
+        union = eval_allsum(self.union)
         present = union > 0
         iou = np.zeros(self.num_classes, np.float64)
         iou[present] = intersection[present] / union[present]
@@ -505,7 +512,7 @@ class DetectionAP:
         from . import gather as g
 
         packed = _pack_ragged_images(self.images)
-        gathered = {k: g.gather_ragged(v) for k, v in packed.items()}
+        gathered = {k: g.eval_gather_ragged(v) for k, v in packed.items()}
         self.images = _unpack_ragged_images(gathered)
         self.has_masks = any("iou_mask" in r for r in self.images)
 

@@ -45,14 +45,22 @@ class BaseTask:
         }
 
     def audio_conv_spec(self):
-        """The model's audio conv-frontend spec, interpolated into the data
-        layer so padding/block masks use the model's actual frame count
-        (ref base_task.py:65: the task reads the model's conv spec via
-        II('model.encoder.audio_adapter.feature_encoder_spec'))."""
+        """The model's audio-frontend frame arithmetic, interpolated into
+        the data layer so padding/block masks use the model's actual
+        frame count (ref base_task.py:65: the task reads the model's conv
+        spec via II('model.encoder.audio_adapter.feature_encoder_spec')).
+
+        The fbank frontend's frame count, 1 + (len - n_fft) // hop
+        (ops/preprocess.py LogMelFbank.num_frames), is exactly a
+        one-layer conv recurrence — expressed here as ((0, n_fft, hop),)
+        so every dataset's conv_output_length computes the right length
+        for either frontend."""
         fc = self.framework_cfg
         if fc is not None:
-            spec = fc.model.encoder.audio_adapter.feature_encoder_spec
-            return tuple(tuple(layer) for layer in spec)
+            ad = fc.model.encoder.audio_adapter
+            if getattr(ad, "frontend", "waveform") == "fbank":
+                return ((0, ad.fbank_n_fft, ad.fbank_hop),)
+            return tuple(tuple(layer) for layer in ad.feature_encoder_spec)
         from ..data.datasets import DEFAULT_SPEC
 
         return DEFAULT_SPEC

@@ -79,9 +79,15 @@ class RetrievalTaskMixin:
     def merge_results(self, output_predict: bool = False) -> Dict:
         stats = self.metric.merge_results(output_predict=output_predict)
         if self.side == "audio":
+            # rename the Recall reducer's image-side keys for audio tasks
+            # (ref audio_text_retrieval.py:118-125): prefix-precise, and
+            # covering the prediction dumps ('predict_img') too
             for key in list(stats):
                 if key.startswith("img"):
-                    stats[key.replace("img", "audio")] = stats.pop(key)
+                    stats["audio" + key[len("img"):]] = stats.pop(key)
+                elif key.startswith("predict_img"):
+                    stats["predict_audio" + key[len("predict_img"):]] = \
+                        stats.pop(key)
         return stats
 
 
@@ -322,7 +328,11 @@ class AqaTask(ClassifyTaskBase):
                 "feature_encoder_spec": self.audio_conv_spec()}
 
     def valid_step(self, model, params, batch):
-        num_choices = 4
+        # shared with HingeCriterion via criterion.num_choices so train
+        # and eval can never disagree on the answer grouping
+        fc = self.framework_cfg
+        num_choices = (getattr(fc.criterion, "num_choices", 4)
+                       if fc is not None else 4)
         audios = np.repeat(np.asarray(batch["src_audios"]), num_choices, axis=0)
         pads = np.repeat(np.asarray(batch["audio_padding_masks"]), num_choices,
                          axis=0)
@@ -345,26 +355,37 @@ class RefCOCOTask(BaseTask):
     def __init__(self, cfg, framework_cfg=None):
         super().__init__(cfg, framework_cfg)
         self.metric = IouAcc()
+        self._pending = []
 
     def begin_valid_epoch(self, model, params):
         self.metric.initialize()
+        self._pending = []
 
     def valid_step(self, model, params, batch):
-        import jax
         import jax.numpy as jnp
 
         coords = self.eval_model(model, params,
                                  {"src_tokens": batch["src_tokens"],
                                   "src_images": batch["src_images"]})
-        coords = np.asarray(jax.nn.sigmoid(coords.astype(jnp.float32)))
-        # predicted boxes are normalized to the resized square; rescale to
-        # original pixel coordinates
+        # DEFERRED fetch: keep the device array; sigmoid/rescale/IoU run
+        # once at merge over a single batched device_get (per-batch
+        # np.asarray costs a ~150 ms tunnel RTT each on axon)
         w = np.asarray(batch["image_widths"])[:, None]
         h = np.asarray(batch["image_heights"])[:, None]
-        scale = np.concatenate([w, h, w, h], axis=1)
-        self.metric.compute(coords * scale, np.asarray(batch["region_coords"]))
+        self._pending.append({
+            "coords": coords.astype(jnp.float32),
+            "scale": np.concatenate([w, h, w, h], axis=1),
+            "target": np.asarray(batch["region_coords"]),
+        })
 
     def merge_results(self) -> Dict:
+        from ..metrics.metrics import fetch_once
+
+        fetched = fetch_once([p["coords"] for p in self._pending])
+        for p, coords in zip(self._pending, fetched):
+            pred = 1.0 / (1.0 + np.exp(-np.asarray(coords, np.float32)))
+            self.metric.compute(pred * p["scale"], p["target"])
+        self._pending = []
         return self.metric.merge_results()
 
 

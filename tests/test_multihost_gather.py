@@ -64,6 +64,9 @@ def test_recall_merge_uses_gather(monkeypatch):
         return orig(x)
 
     monkeypatch.setattr(g, "gather_ragged", spy)
+    # declare genuinely process-sharded accumulation (the default assumes
+    # the mesh eval's replicated global batches and skips the gather)
+    monkeypatch.setattr(g, "_PROCESS_SHARDED_EVAL", True)
     r = Recall()
     rs = np.random.RandomState(1)
     r.initialize(np.arange(6), rs.randn(6, 4).astype(np.float32))
@@ -135,6 +138,25 @@ def test_detection_ap_multihost_merge(monkeypatch):
 
     monkeypatch.setattr(_jax, "process_count", lambda: 2)
     monkeypatch.setattr(G, "gather_ragged", fake_gather)
+    monkeypatch.setattr(G, "_PROCESS_SHARDED_EVAL", True)
     stats = ap.merge_results()
     assert calls["i"] == len(order)
     assert stats == ref_stats
+
+
+def test_replicated_eval_does_not_double_count(monkeypatch):
+    """DEFAULT mesh-eval semantics: every process feeds the same global
+    batches, so per-process accumulations are replicas — the reducers'
+    merges must NOT cross-process gather/sum them (that would count the
+    dataset process_count times)."""
+    import jax as _jax
+
+    from one_peace_tpu.metrics.metrics import Accuracy
+
+    monkeypatch.setattr(_jax, "process_count", lambda: 4)
+    a = Accuracy()
+    a.initialize()
+    a.compute(ncorrect=3.0, count=10)
+    stats = a.merge_results()
+    assert stats["count"] == 10  # not 40
+    assert abs(stats["accuracy"] - 30.0) < 1e-6
