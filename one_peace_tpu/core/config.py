@@ -298,6 +298,12 @@ class CriterionConfig:
     dcl_al_text_alpha: float = 0.5
     dcl_al_audio_alpha: float = 0.5
     dcl_logit_scale: float = 2.5
+    # DCL gallery scope: the reference never all_gathers for DCL — each
+    # DDP rank's gallery is its LOCAL batch.  1 (default) = global-batch
+    # gallery; set to the reference recipe's world size (8 for
+    # pretrain_vl_3B) to reproduce its per-rank gallery statistics
+    # exactly (losses.dcl_loss docstring)
+    dcl_gallery_chunks: int = 1
     # detection: RPN objectness/box weighting — 'subsample' (detectron2's literal
     # 256-anchor 1:1 random sample as static weight vectors — DEFAULT
     # since the 200-step two-seed harness rerun: +0.8 AP consistently,

@@ -141,16 +141,20 @@ class ImageTextPretrainCriterion:
 
         dcl_text = dcl_loss(student_text, teacher_text,
                             batch["text_mask_indices"], padding,
-                            c.dcl_logit_scale, c.label_smoothing)
+                            c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         dcl_image = dcl_loss(student_image, teacher_image,
                              batch["image_mask_indices"], None,
-                             c.dcl_logit_scale, c.label_smoothing)
+                             c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         dcl_vl_text = dcl_loss(student_vl_text, teacher_vl_text,
                                batch["vl_text_mask_indices"], padding,
-                               c.dcl_logit_scale, c.label_smoothing)
+                               c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         dcl_vl_image = dcl_loss(student_vl_image, teacher_vl_image,
                                 batch["vl_image_mask_indices"], None,
-                                c.dcl_logit_scale, c.label_smoothing)
+                                c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         itc, m = itc_loss(image_logits, text_logits, scale)
 
         loss = (itc + c.dcl_text_alpha * dcl_text + c.dcl_image_alpha * dcl_image
@@ -215,13 +219,16 @@ class AudioTextPretrainCriterion:
         text_padding = src_tokens == 1
         dcl_audio = dcl_loss(student_audio, teacher_al_audio,
                              batch["audio_mask_indices"], pad_masks,
-                             c.dcl_logit_scale, c.label_smoothing)
+                             c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         dcl_al_text = dcl_loss(student_al_text, teacher_al_text,
                                batch["al_text_mask_indices"], text_padding,
-                               c.dcl_logit_scale, c.label_smoothing)
+                               c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         dcl_al_audio = dcl_loss(student_al_audio, teacher_al_audio,
                                 batch["al_audio_mask_indices"], pad_masks,
-                                c.dcl_logit_scale, c.label_smoothing)
+                                c.dcl_logit_scale, c.label_smoothing,
+                            gallery_chunks=getattr(c, 'dcl_gallery_chunks', 1))
         atc, m = itc_loss(audio_logits, text_logits, scale)
         loss = (atc + c.dcl_audio_alpha * dcl_audio
                 + c.dcl_al_text_alpha * dcl_al_text

@@ -1,12 +1,19 @@
 """Loss primitives shared by the criterions.
 
-Pure functions over global (mesh-sharded) batches.  The reference
-computes per-rank losses against a no-grad ``all_gather`` gallery with
-rank-offset targets (ref: criterions/image_text_retrieval_loss.py:29-39,
-93-123; utils/data_utils.py:30-37 — the gallery side is detached even in
-the single-process ``.data`` branch).  Under pjit a single jitted loss
-over the global batch with ``stop_gradient`` on the gallery side is
-exactly that computation summed over ranks (XLA's psum delivers the sum).
+Pure functions over global (mesh-sharded) batches.  For ITC the
+reference computes per-rank losses against a no-grad ``all_gather``
+gallery with rank-offset targets (ref:
+criterions/image_text_retrieval_loss.py:29-39, 93-123;
+utils/data_utils.py:30-37 — the gallery side is detached even in the
+single-process ``.data`` branch); under pjit a single jitted loss over
+the global batch with ``stop_gradient`` on the gallery side is exactly
+that computation summed over ranks (XLA's psum delivers the sum).
+
+DCL is different: the reference never gathers — each rank's DCL gallery
+is its LOCAL batch.  ``dcl_loss(gallery_chunks=...)`` reproduces that
+per-rank statistic exactly when asked; the default (1 = global gallery)
+is a documented deviation that only differs from the reference when the
+reference recipe ran multi-GPU (see dcl_loss's docstring).
 """
 
 from __future__ import annotations
@@ -62,6 +69,26 @@ def itc_loss(
     return loss, metrics
 
 
+def _dcl_chunk(sf, tf, scored, col_valid, logit_scale, label_smoothing):
+    """(sum of NLL over scored rows, scored count) for one gallery chunk."""
+    sn = sf / jnp.maximum(jnp.linalg.norm(sf, axis=-1, keepdims=True), 1e-6)
+    tn = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-6)
+    sim = logit_scale * (sn @ tn.T)  # (N, N)
+    sim = jnp.where(col_valid[None, :], sim, -jnp.inf)
+    lprobs = jax.nn.log_softmax(sim, axis=-1)
+    diag = jnp.diagonal(lprobs)
+    nll = -diag
+    if label_smoothing > 0.0:
+        n_valid = jnp.sum(col_valid.astype(jnp.float32))
+        smooth = -jnp.sum(jnp.where(col_valid[None, :], lprobs, 0.0), axis=-1)
+        eps_i = label_smoothing / jnp.maximum(n_valid - 1, 1.0)
+        nll = (1.0 - label_smoothing - eps_i) * nll + eps_i * smooth
+    # where() not multiply: unscored rows can hold inf (their own teacher
+    # column is -inf when padded) and inf * 0 = nan
+    w = scored.astype(jnp.float32)
+    return jnp.sum(jnp.where(scored, nll, 0.0)), jnp.sum(w)
+
+
 def dcl_loss(
     student: jnp.ndarray,
     teacher: jnp.ndarray,
@@ -69,13 +96,24 @@ def dcl_loss(
     padding_mask: Optional[jnp.ndarray] = None,
     logit_scale: float = 2.5,
     label_smoothing: float = 0.0,
+    gallery_chunks: int = 1,
 ) -> jnp.ndarray:
     """Denoising contrastive loss (ref image_text_pretrain_loss.py:187-215).
 
-    Each masked student token (CLS excluded) is contrasted against *all*
-    non-padding teacher tokens of the batch (flattened, CLS excluded) via
-    cosine similarity * logit_scale; the teacher is detached; the target of
-    student token (b, t) is its own teacher token.
+    Each masked student token (CLS excluded) is contrasted against the
+    non-padding teacher tokens of its gallery (flattened, CLS excluded)
+    via cosine similarity * logit_scale; the teacher is detached; the
+    target of student token (b, t) is its own teacher token.
+
+    Gallery scope: the reference DCL never all_gathers — each DDP rank's
+    gallery is its LOCAL batch (B_total / world_size samples).  Under
+    pjit there are no ranks, so ``gallery_chunks=1`` (default) uses the
+    whole global batch (a strictly larger negative set); set
+    ``gallery_chunks=world_size_of_the_reference_recipe`` (e.g. 8 for
+    pretrain_vl_3B's 8 GPUs) to reproduce the reference's per-rank
+    gallery statistics exactly — per-chunk NLL sums and counts are
+    combined globally, which is precisely the reference's cross-rank
+    loss/sample_size aggregation.
 
     Fixed-shape formulation: the reference filters padding/unmasked rows
     with data-dependent gathers; here padding columns get -inf logits (so
@@ -98,22 +136,19 @@ def dcl_loss(
     else:
         col_valid = jnp.ones((n,), bool)
 
-    sn = sf / jnp.maximum(jnp.linalg.norm(sf, axis=-1, keepdims=True), 1e-6)
-    tn = tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True), 1e-6)
-    sim = logit_scale * (sn @ tn.T)  # (N, N)
-    sim = jnp.where(col_valid[None, :], sim, -jnp.inf)
-    lprobs = jax.nn.log_softmax(sim, axis=-1)
-    diag = jnp.diagonal(lprobs)
-    nll = -diag
-    if label_smoothing > 0.0:
-        n_valid = jnp.sum(col_valid.astype(jnp.float32))
-        smooth = -jnp.sum(jnp.where(col_valid[None, :], lprobs, 0.0), axis=-1)
-        eps_i = label_smoothing / jnp.maximum(n_valid - 1, 1.0)
-        nll = (1.0 - label_smoothing - eps_i) * nll + eps_i * smooth
-    # where() not multiply: unscored rows can hold inf (their own teacher
-    # column is -inf when padded) and inf * 0 = nan
-    w = scored.astype(jnp.float32)
-    return jnp.sum(jnp.where(scored, nll, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+    g = max(int(gallery_chunks), 1)
+    if g > 1:
+        assert b % g == 0, (b, g)
+        nc = (b // g) * (l - 1)
+        sums, counts = jax.vmap(
+            _dcl_chunk, in_axes=(0, 0, 0, 0, None, None))(
+            sf.reshape(g, nc, d), tf.reshape(g, nc, d),
+            scored.reshape(g, nc), col_valid.reshape(g, nc),
+            logit_scale, label_smoothing)
+        return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)
+    s, c = _dcl_chunk(sf, tf, scored, col_valid, logit_scale,
+                      label_smoothing)
+    return s / jnp.maximum(c, 1.0)
 
 
 def cross_entropy_loss(logits, targets, label_smoothing: float = 0.0,

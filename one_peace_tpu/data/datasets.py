@@ -244,12 +244,16 @@ class Nlvr2Dataset(BaseDataset):
             # ref nlvr2_dataset.py:33-42: distortion + blur + flip + randaug
             from .randaugment import GaussianBlur, RandomAugment, RandomDistortion
 
-            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5, seed=seed)
-            self.blur = GaussianBlur(0.5, seed=seed)
+            # distinct per-transform seeds: sharing one seed gives four
+            # IDENTICAL random streams, correlating blur/distort/augment
+            # decisions sample-by-sample
+            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5,
+                                            seed=seed + 1)
+            self.blur = GaussianBlur(0.5, seed=seed + 2)
             self.randaug = RandomAugment(
                 2, 7, augs=["Identity", "Equalize", "Brightness", "Sharpness",
                             "ShearX", "ShearY", "TranslateX", "TranslateY",
-                            "Rotate"], seed=seed)
+                            "Rotate"], seed=seed + 3)
 
     def _transform(self, img):
         img = resize_image(img, self.patch_image_size)
@@ -274,11 +278,25 @@ class Nlvr2Dataset(BaseDataset):
 
 
 class RefCOCODataset(BaseDataset):
+    """Grounding pairs (ref vl_data/refcoco_dataset.py:31-42).
+
+    Geometry note: the reference's RandomResize([S], max_size=S) clamps
+    BOTH output dims to S for every aspect ratio (utils/transforms.py:
+    17-39), i.e. a square S x S stretch; its Normalize then divides the
+    ratio-scaled boxes by max_image_size=S — so the target works out to
+    exactly (x/w, y/h), which is what this port computes directly."""
+
     def __init__(self, split, table, tokenizer, dataset_dir="",
-                 max_src_length=70, patch_image_size=384):
+                 max_src_length=70, patch_image_size=384, seed=3407):
         super().__init__(split, table, tokenizer, dataset_dir)
         self.max_src_length = max_src_length
         self.patch_image_size = patch_image_size
+        self.blur = None
+        if split == "train":
+            # ref refcoco_dataset.py:33: train adds GaussianBlur(0.5)
+            from .randaugment import GaussianBlur
+
+            self.blur = GaussianBlur(0.5, seed=seed + 2)
 
     def __getitem__(self, index):
         image, text, region_coord = self.table[index]
@@ -287,8 +305,11 @@ class RefCOCODataset(BaseDataset):
         x0, y0, x1, y1 = (float(v) for v in region_coord.strip().split(","))
         s = self.patch_image_size
         img_r = resize_image(img, s)
+        if self.blur is not None:
+            img_r = self.blur(img_r)
         # targets normalized to [0,1] of the resized square (boxes scale
-        # with the resize ratios; ref utils/transforms Normalize)
+        # with the resize ratios; ref utils/transforms Normalize — see
+        # the class docstring for the equivalence)
         target = np.asarray([x0 / w, y0 / h, x1 / w, y1 / h], np.float32)
         text = clean_text(text, self.max_src_length)
         return {
@@ -394,12 +415,16 @@ class ImageClassifyDataset(BaseDataset):
         if split == "train":
             from .randaugment import GaussianBlur, RandomAugment, RandomDistortion
 
-            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5, seed=seed)
-            self.blur = GaussianBlur(0.5, seed=seed)
+            # distinct per-transform seeds: sharing one seed gives four
+            # IDENTICAL random streams, correlating blur/distort/augment
+            # decisions sample-by-sample
+            self.distort = RandomDistortion(0.4, 0.4, 0.4, 0, 0.5,
+                                            seed=seed + 1)
+            self.blur = GaussianBlur(0.5, seed=seed + 2)
             self.randaug = RandomAugment(
                 2, 7, augs=["Identity", "Equalize", "Brightness", "Sharpness",
                             "ShearX", "ShearY", "TranslateX", "TranslateY",
-                            "Rotate"], seed=seed)
+                            "Rotate"], seed=seed + 3)
 
     def __getitem__(self, index):
         image, label = self.table[index][:2]

@@ -55,11 +55,13 @@ class AudioAdapter:
             self.fbank = LogMelFbank(n_fft=cfg.fbank_n_fft, hop=cfg.fbank_hop,
                                      n_mels=cfg.fbank_n_mels)
         # fbank frames run ~1500 for 15 s at a 10 ms hop; size the bucket
-        # table to cover them (waveform conv frames stay <= 1024)
-        max_pos = 1024 if self.fbank is None else 2048
+        # AND fixed abs-pos tables to cover them (waveform conv frames
+        # stay <= 1024 — a 1024-slot fixed table under fbank would slice
+        # short and shape-error the preserve_embed path)
+        self.max_pos = 1024 if self.fbank is None else 2048
         if cfg.use_attn_bias:
             self.rp_bucket = make_token_bucket_position_with_cls(
-                cfg.bucket_size, max_pos)
+                cfg.bucket_size, self.max_pos)
         else:
             self.rp_bucket = None
         # conv positional embedding: depth 5, k = max(3, width // depth) = 19
@@ -117,7 +119,8 @@ class AudioAdapter:
                 }
             params["cls_pos_embed"] = trunc_normal(keys[13], (1, 1, d), dtype=dtype)
         elif cfg.abs_pos_type == "fixed":
-            params["embed_positions"] = trunc_normal(keys[13], (1024 + 2, d), dtype=dtype)
+            params["embed_positions"] = trunc_normal(
+                keys[13], (self.max_pos + 2, d), dtype=dtype)
         else:
             raise ValueError(cfg.abs_pos_type)
 

@@ -216,7 +216,14 @@ class OnePeaceRetrievalModel:
 
     def logit_scale_exp(self, params):
         """Clamped to ln(100) (ref :96-99)."""
-        return jnp.exp(jnp.clip(params["logit_scale"], 0.0, math.log(100.0)))
+        x = params["logit_scale"]
+        # straight-through clamp (ref clamps the STORED param in place,
+        # :96-99): value saturates at [0, ln 100] but the gradient stays
+        # identity, so a parameter pushed past a bound by momentum can
+        # still be pulled back — a plain clip has zero gradient outside
+        # the range and sticks forever
+        clipped = jnp.clip(x, 0.0, math.log(100.0))
+        return jnp.exp(x + jax.lax.stop_gradient(clipped - x))
 
     def __call__(
         self,

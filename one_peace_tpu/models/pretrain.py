@@ -73,7 +73,14 @@ class OnePeacePretrainModel:
         return params
 
     def logit_scale_exp(self, params):
-        return jnp.exp(jnp.clip(params["logit_scale"], 0.0, math.log(100.0)))
+        x = params["logit_scale"]
+        # straight-through clamp (ref clamps the STORED param in place,
+        # :96-99): value saturates at [0, ln 100] but the gradient stays
+        # identity, so a parameter pushed past a bound by momentum can
+        # still be pulled back — a plain clip has zero gradient outside
+        # the range and sticks forever
+        clipped = jnp.clip(x, 0.0, math.log(100.0))
+        return jnp.exp(x + jax.lax.stop_gradient(clipped - x))
 
     def __call__(
         self,

@@ -45,8 +45,7 @@ def ring_attention(
     m = jnp.full((b, h, lc), -jnp.inf, jnp.float32)
     denom = jnp.zeros((b, h, lc), jnp.float32)
 
-    def step(carry, s):
-        o, m, denom, k_blk, v_blk = carry
+    def compute_block(o, m, denom, k_blk, v_blk, s):
         src = (my - s) % n  # which chunk we currently hold
         logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k_blk.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
@@ -64,14 +63,24 @@ def ring_attention(
         new_denom = denom * correction + jnp.sum(p, axis=-1)
         pv = jnp.einsum("bhqk,bkhd->bqhd", p, v_blk.astype(jnp.float32))
         new_o = o * jnp.transpose(correction, (0, 2, 1))[..., None] + pv
+        return new_o, new_m, new_denom
+
+    def step(carry, s):
+        o, m, denom, k_blk, v_blk = carry
+        o, m, denom = compute_block(o, m, denom, k_blk, v_blk, s)
         # rotate K/V to the next device (overlaps with the next step's math)
         perm = [(i, (i + 1) % n) for i in range(n)]
         k_next = jax.lax.ppermute(k_blk, axis, perm)
         v_next = jax.lax.ppermute(v_blk, axis, perm)
-        return (new_o, new_m, new_denom, k_next, v_next), None
+        return (o, m, denom, k_next, v_next), None
 
-    (o, m, denom, _, _), _ = jax.lax.scan(
-        step, (o, m, denom, k, v), jnp.arange(n))
+    # n-1 (compute + rotate) steps, then the last block WITHOUT the
+    # rotation — a final ppermute's result is discarded by the scan
+    # carry, one wasted full K/V ICI exchange per call
+    if n > 1:
+        (o, m, denom, k, v), _ = jax.lax.scan(
+            step, (o, m, denom, k, v), jnp.arange(n - 1))
+    o, m, denom = compute_block(o, m, denom, k, v, n - 1)
     out = o / jnp.transpose(denom, (0, 2, 1))[..., None]
     return out.astype(q.dtype)
 

@@ -396,3 +396,36 @@ def test_iterator_shuffle_override():
                             prefetch=0, shuffle=True)
     seq = [x for b in it.next_epoch_itr(shuffle=False) for x in b]
     assert seq == data
+
+
+def test_dcl_gallery_chunks_match_manual_split():
+    """dcl_loss(gallery_chunks=g) must equal computing the loss per
+    batch-chunk with local galleries and combining sum/count globally —
+    the reference's per-rank DCL aggregation (it never all_gathers)."""
+    import jax.numpy as jnp
+
+    from one_peace_tpu.criterions.losses import dcl_loss
+
+    rs = np.random.RandomState(0)
+    b, l, d = 4, 6, 8
+    student = jnp.asarray(rs.randn(b, l, d).astype(np.float32))
+    teacher = jnp.asarray(rs.randn(b, l, d).astype(np.float32))
+    mask = jnp.asarray(rs.rand(b, l) < 0.5)
+    pad = jnp.asarray(rs.rand(b, l) < 0.2)
+
+    got = float(dcl_loss(student, teacher, mask, pad, 2.5, 0.1,
+                         gallery_chunks=2))
+    # manual: per-chunk losses weighted by their scored counts
+    num = den = 0.0
+    for sl in (slice(0, 2), slice(2, 4)):
+        scored = np.asarray(mask[sl, 1:] & ~pad[sl, 1:]).sum()
+        li = float(dcl_loss(student[sl], teacher[sl], mask[sl], pad[sl],
+                            2.5, 0.1))
+        num += li * scored
+        den += scored
+    np.testing.assert_allclose(got, num / den, rtol=1e-6)
+    # g=1 equals the direct global computation
+    np.testing.assert_allclose(
+        float(dcl_loss(student, teacher, mask, pad, 2.5, 0.1)),
+        float(dcl_loss(student, teacher, mask, pad, 2.5, 0.1,
+                       gallery_chunks=1)))
