@@ -69,3 +69,36 @@ def test_quantized_attention_embeddings_close():
         assert attn[name]["w_q"].dtype == jnp.int8
     # k_proj has no bias; the others keep theirs
     assert "b" not in attn["k_proj"] and "b" in attn["q_proj"]
+
+
+def test_one_jit_function_serves_bf16_and_quantized_trees():
+    """bench.py reuses ONE jitted embed function for both the bf16 and
+    the int8-quantized param trees (different pytree structures must
+    retrace, not crash or cross-contaminate) — the exact call pattern the
+    driver's bench artifact executes."""
+    import jax
+    import jax.numpy as jnp
+
+    from helpers import tiny_model_config
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.ops.quant import quantize_ffn_params
+
+    cfg = tiny_model_config(head_type="val")
+    model = OnePeaceRetrievalModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.RandomState(0).randn(2, 3, 32, 32),
+                       jnp.float32)
+
+    @jax.jit
+    def embed(p, x):
+        return model(p, src_images=x, encoder_type="image")
+
+    out_f = np.asarray(embed(params, imgs))
+    params_q = quantize_ffn_params(params)
+    out_q = np.asarray(embed(params_q, imgs))  # retrace on new structure
+    out_f2 = np.asarray(embed(params, imgs))   # original entry still cached
+    np.testing.assert_array_equal(out_f, out_f2)
+    assert np.isfinite(out_q).all()
+    # quantization error is small but nonzero — proves the int8 path ran
+    d = np.abs(out_q - out_f).max()
+    assert 0 < d < 0.05, d
