@@ -28,9 +28,10 @@ def quantize_weight(w: jnp.ndarray):
 
 
 def _use_pallas_int8() -> bool:
-    """XLA's int8 dot is the default: measured in-model on v5e (8-layer
-    proxy, image fwd B=32) the full int8 FFN path runs 968.6 img/s vs
-    bf16's 784.5 (+23%) — XLA fuses the requant/dequant into neighbors.
+    """XLA's int8 dot is the default: on the FFN-bound 8-layer PROXY it
+    measured 968.6 vs 784.5 img/s (+23%); in the FULL 4B model the win
+    is +8.7% image / +17.9% audio (r5 bench, PARITY.md) — XLA fuses the
+    requant/dequant into neighbors.
     The Pallas kernel (quant_pallas.py) wins isolated K-heavy matmuls
     (41.4 vs 25.6 TFLOPs at K=6144) but loses in-model (890 img/s);
     ONE_PEACE_INT8_IMPL=pallas keeps it selectable for experiments."""

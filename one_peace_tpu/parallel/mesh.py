@@ -50,11 +50,6 @@ def make_mesh(dp: int = -1, fsdp: int = 1, tp: int = 1, pp: int = 1,
     return Mesh(arr, axes)
 
 
-def local_batch_axes() -> tuple:
-    """Axes the global batch is sharded over (data axes)."""
-    return ("dp", "fsdp")
-
-
 def initialize_multihost(coordinator_address: str = None,
                          num_processes: int = None,
                          process_id: int = None) -> None:

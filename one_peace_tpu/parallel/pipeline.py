@@ -136,9 +136,12 @@ def pipeline_forward(
         buf0 = jnp.zeros((mb,) + x.shape[1:], x.dtype)
         outs0 = jnp.zeros((m, mb) + x.shape[1:], x.dtype)
         (_, outputs), _ = jax.lax.scan(tick, (buf0, outs0), jnp.arange(ticks))
-        # only the last stage holds real outputs; broadcast them to all
-        is_last = (s == n - 1).astype(outputs.dtype)
-        outputs = jax.lax.psum(outputs * is_last, axis)
+        # only the last stage holds real outputs; broadcast them to all.
+        # select, not multiply: bubble-tick compute on non-last stages can
+        # legitimately produce inf/NaN (e.g. an all-masked softmax row on
+        # garbage activations) and 0 * NaN = NaN would poison the psum
+        outputs = jax.lax.psum(
+            jnp.where(s == n - 1, outputs, jnp.zeros_like(outputs)), axis)
         return outputs
 
     fn = jax.shard_map(

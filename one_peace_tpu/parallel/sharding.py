@@ -46,6 +46,17 @@ _RULES: List[Tuple[str, Dict[int, P]]] = [
     (r"text_adapter/embed_tokens$", {2: P("fsdp", None)}),
     # projection heads (D, D)
     (r"(text|image|audio)_proj/w$", {2: P("fsdp", "tp")}),
+    # int8-quantized trees (quantize_ffn_params renames w -> w_q +
+    # per-output-channel w_scale): same placements as the bf16 weights,
+    # scales on the output dim
+    (r"layers/self_attn/(q_proj|k_proj|v_proj)/w_q$", {3: P(None, "fsdp", "tp")}),
+    (r"layers/self_attn/(q_proj|k_proj|v_proj)/w_scale$", {2: P(None, "tp")}),
+    (r"layers/self_attn/out_proj/w_q$", {3: P(None, "tp", "fsdp")}),
+    (r"layers/self_attn/out_proj/w_scale$", {2: P(None, "fsdp")}),
+    (r"layers/(text|image|audio)_ffn/(wi_0|wi_1)/w_q$", {3: P(None, "fsdp", "tp")}),
+    (r"layers/(text|image|audio)_ffn/(wi_0|wi_1)/w_scale$", {2: P(None, "tp")}),
+    (r"layers/(text|image|audio)_ffn/wo/w_q$", {3: P(None, "tp", "fsdp")}),
+    (r"layers/(text|image|audio)_ffn/wo/w_scale$", {2: P(None, "fsdp")}),
 ]
 
 

@@ -24,7 +24,11 @@ def _copy_tree(params, fp32: bool):
 class EMA:
     def __init__(self, cfg: EMAConfig, params):
         self.cfg = cfg
-        self.shadow = _copy_tree(params, cfg.ema_fp32)
+        fp32 = cfg.ema_fp32
+        # one jitted tree-copy: the eager per-leaf version costs one
+        # remote dispatch per leaf per warmup step on axon (~100+ leaves)
+        self._copy = jax.jit(lambda p: _copy_tree(p, fp32))
+        self.shadow = self._copy(params)
         self._update = jax.jit(self._make_update())
 
     def _make_update(self):
@@ -46,7 +50,7 @@ class EMA:
         if num_updates < cfg.ema_start_update:
             # copy-through warmup (ref trainer: ema starts tracking late);
             # on a skipped step params were reverted, so the copy is a no-op
-            self.shadow = _copy_tree(params, cfg.ema_fp32)
+            self.shadow = self._copy(params)
         elif num_updates % cfg.ema_update_freq == 0:
             self.shadow = self._update(self.shadow, params,
                                        jnp.asarray(skipped, jnp.float32))

@@ -102,3 +102,19 @@ def test_one_jit_function_serves_bf16_and_quantized_trees():
     # quantization error is small but nonzero — proves the int8 path ran
     d = np.abs(out_q - out_f).max()
     assert 0 < d < 0.05, d
+
+
+def test_quantized_tree_keeps_sharding_rules():
+    """w_q/w_scale leaves must inherit the TP/FSDP placements of the bf16
+    weights they replace — otherwise int8 serving on a mesh silently
+    replicates the whole FFN stack on every device."""
+    from one_peace_tpu.parallel.sharding import spec_for_path
+
+    assert spec_for_path("encoder_wrapper/fusion/layers/self_attn/q_proj/w_q", 3) \
+        == __import__("jax").sharding.PartitionSpec(None, "fsdp", "tp")
+    assert spec_for_path("encoder_wrapper/fusion/layers/image_ffn/wi_0/w_q", 3) \
+        == __import__("jax").sharding.PartitionSpec(None, "fsdp", "tp")
+    assert spec_for_path("encoder_wrapper/fusion/layers/image_ffn/wo/w_q", 3) \
+        == __import__("jax").sharding.PartitionSpec(None, "tp", "fsdp")
+    assert spec_for_path("encoder_wrapper/fusion/layers/image_ffn/wo/w_scale", 2) \
+        == __import__("jax").sharding.PartitionSpec(None, "fsdp")
