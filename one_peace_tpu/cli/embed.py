@@ -33,7 +33,9 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--output", required=True)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--dtype", default="bf16", choices=["float32", "bf16"])
-    parser.add_argument("--patch-image-size", type=int, default=256)
+    parser.add_argument("--patch-image-size", type=int, default=None,
+                        help="override the image resolution (default: the "
+                             "YAML config's task.patch_image_size, else 256)")
     parser.add_argument("--config", default=None,
                         help="optional YAML with model/task overrides")
     parser.add_argument("overrides", nargs="*")
@@ -43,15 +45,18 @@ def main(argv: Optional[list] = None) -> int:
     from ..hub import from_pretrained
 
     model_cfg = None
-    task_cfg = TaskConfig(patch_image_size=args.patch_image_size)
+    task_cfg = TaskConfig(patch_image_size=args.patch_image_size or 256)
     if args.config or args.overrides:
         cfg = load_config(args.config, args.overrides)
         model_cfg = cfg.model
-        cfg.task.patch_image_size = args.patch_image_size
+        # the flag only overrides when PASSED — an argparse default must
+        # not silently clobber the YAML's task.patch_image_size
+        if args.patch_image_size is not None:
+            cfg.task.patch_image_size = args.patch_image_size
         # same sync as cli/train.py: the rel-pos grid must match the
         # requested resolution or the image adapter's guard raises
         cfg.model.encoder.image_adapter.rel_bucket_size = \
-            args.patch_image_size // 16
+            cfg.task.patch_image_size // 16
         task_cfg = cfg.task
     hub = from_pretrained(args.path, dtype=args.dtype, task_cfg=task_cfg,
                           model_cfg=model_cfg)

@@ -106,6 +106,17 @@ def main(argv: Optional[list] = None) -> int:
     progress = ProgressLogger(cfg.common.log_format, cfg.common.log_interval,
                               cfg.common.tensorboard_logdir,
                               sinks=build_sinks(cfg.common))
+    # tag split mirrors the reference's progress bars: per-update stats go
+    # out as "train_inner", epoch aggregates as "train", validation as
+    # "valid" (ref logging/progress_bar.py + train.py tag wiring) — same
+    # sink objects, so a validation "loss" lands in valid/loss and the
+    # epoch summary never collides with the per-step point at one step
+    inner_progress = ProgressLogger(cfg.common.log_format,
+                                    cfg.common.log_interval,
+                                    tag="train_inner", sinks=progress.sinks)
+    valid_progress = ProgressLogger(cfg.common.log_format,
+                                    cfg.common.log_interval, tag="valid",
+                                    sinks=progress.sinks)
     itr = task.get_batch_iterator(
         "train", cfg.dataset.batch_size, seed=cfg.common.seed,
         ensure_equal_batch=cfg.dataset.ensure_equal_batch,
@@ -157,7 +168,7 @@ def main(argv: Optional[list] = None) -> int:
     def run_validation():
         nonlocal last_val_step
         with jax.profiler.TraceAnnotation("validate"):
-            stats = validate(cfg, task, model, trainer, progress)
+            stats = validate(cfg, task, model, trainer, valid_progress)
         _maybe_save_best(cfg, trainer, stats)
         last_val_step = trainer.step
 
@@ -177,14 +188,21 @@ def main(argv: Optional[list] = None) -> int:
                     elif tracing and not in_window:
                         jax.profiler.stop_trace()
                         tracing = False
+                prev_step = trainer.step
                 metrics = trainer.train_step(batch)
                 for k, v in metrics.items():
                     log_scalar(k, v)
-                progress.log(metrics, trainer.step)
+                # per-UPDATE logging (ref train.py iterates grouped batches,
+                # one log per update): under gradient accumulation only the
+                # boundary micro-batch advances trainer.step — logging every
+                # micro-batch would emit update_freq duplicate sink points
+                # at one step (wandb.log step-monotonicity, dup TB points)
+                if trainer.step != prev_step:
+                    inner_progress.log(metrics, trainer.step)
                 # interval actions fire once per OPTIMIZER update: under
                 # gradient accumulation trainer.step holds its value for
                 # update_freq micro-batches, so gate on it advancing
-                if (trainer.step != last_val_step
+                if (trainer.step > 0 and trainer.step != last_val_step
                         and _should_validate(cfg, task, trainer.step, epoch,
                                              end_of_epoch=False)):
                     # mid-epoch validation (ref train.py:345-358:
@@ -193,6 +211,7 @@ def main(argv: Optional[list] = None) -> int:
                     # carries the updated best metric
                     run_validation()
                 if (cfg.checkpoint.save_interval_updates
+                        and trainer.step > 0
                         and trainer.step != last_save_step
                         and trainer.step % cfg.checkpoint.save_interval_updates == 0):
                     save(trainer.step)

@@ -507,9 +507,21 @@ def merge_dict(cfg: Any, overrides: Dict[str, Any]) -> Any:
         else:
             ftype = field_map[key].type
             try:
-                setattr(cfg, key, _coerce(value, eval(ftype) if isinstance(ftype, str) else ftype))  # noqa: S307
+                ftype = eval(ftype) if isinstance(ftype, str) else ftype  # noqa: S307
             except Exception:
+                # unresolvable annotation (e.g. a forward ref to a type not
+                # in scope) — store as-is, nothing to coerce against
                 setattr(cfg, key, value)
+                continue
+            try:
+                coerced = _coerce(value, ftype)
+            except Exception as exc:
+                # a swallowed coercion failure would store the raw value
+                # (e.g. batch_size='1o0') and crash far from the config
+                raise ValueError(
+                    f"config key {key!r}: cannot coerce {value!r} "
+                    f"to {ftype}") from exc
+            setattr(cfg, key, coerced)
     return cfg
 
 

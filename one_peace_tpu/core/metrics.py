@@ -203,6 +203,15 @@ class AimSink(MetricsSink):
             self._run.close()
 
 
+def _is_logging_process() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def build_sinks(common_cfg) -> List[MetricsSink]:
     """Construct the sink list from CommonConfig (tensorboard_logdir,
     log_file, wandb_project, aim_repo — the reference wires the same set
@@ -210,13 +219,8 @@ def build_sinks(common_cfg) -> List[MetricsSink]:
     (the reference's progress bars live on the logging rank) — otherwise
     every rank would open its own W&B run / append to the same JSONL."""
     sinks: List[MetricsSink] = []
-    try:
-        import jax
-
-        if jax.process_index() != 0:
-            return sinks
-    except Exception:
-        pass
+    if not _is_logging_process():
+        return sinks
     if getattr(common_cfg, "tensorboard_logdir", ""):
         sinks.append(TensorBoardSink(common_cfg.tensorboard_logdir))
     if getattr(common_cfg, "log_file", ""):
@@ -241,7 +245,11 @@ class ProgressLogger:
         self.sinks = list(sinks) if sinks is not None else []
         if tensorboard_logdir and not any(
                 isinstance(s, TensorBoardSink) for s in self.sinks):
-            self.sinks.append(TensorBoardSink(tensorboard_logdir))
+            # same rank gate as build_sinks: on rank>0 the passed sink list
+            # is empty BY DESIGN, and this fallback must not re-open a
+            # writer there (N processes interleaving events in one logdir)
+            if _is_logging_process():
+                self.sinks.append(TensorBoardSink(tensorboard_logdir))
 
     def log(self, stats: Dict[str, float], step: int):
         # log_interval <= 0 disables per-step printing (a modulo by zero

@@ -63,8 +63,11 @@ def initialize_multihost(coordinator_address: str = None,
     pass them explicitly elsewhere."""
     import jax
 
-    kwargs = {}
-    if coordinator_address is not None:
-        kwargs = dict(coordinator_address=coordinator_address,
-                      num_processes=num_processes, process_id=process_id)
+    # pass each explicit argument through independently: a caller may rely
+    # on env auto-detection for the address but still pin num_processes/
+    # process_id — silently dropping them would bring the job up with the
+    # wrong topology
+    kwargs = {k: v for k, v in (("coordinator_address", coordinator_address),
+                                ("num_processes", num_processes),
+                                ("process_id", process_id)) if v is not None}
     jax.distributed.initialize(**kwargs)

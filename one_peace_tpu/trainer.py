@@ -277,6 +277,12 @@ class Trainer:
             "params": self.params,
             "opt_state": self.opt_state,
             "step": self.step,
+            # micro-step saved explicitly: an epoch-end save can land
+            # mid-accumulation (epoch length not divisible by update_freq);
+            # MultiSteps' mini_step + partial grads live in opt_state, so
+            # restoring micro keeps the EMA/step gates aligned with the
+            # actual optimizer-update boundaries after resume
+            "micro": self._micro,
             "rng": self._rng,
             "train_time": self.train_time,
         }
@@ -293,10 +299,9 @@ class Trainer:
         oshard = _opt_state_shardings(self.tx, self.mesh, self.params)
         self.opt_state = jax.tree.map(jax.device_put, state["opt_state"], oshard)
         self.step = int(state["step"])
-        # saves land on accumulation boundaries (the cli fires interval
-        # actions only when step advances), so micro is derivable — no
-        # extra checkpoint key, old bundles restore unchanged
-        self._micro = self.step * self._update_freq
+        # legacy bundles (pre-"micro" key) were only ever saved on
+        # accumulation boundaries, where micro is derivable
+        self._micro = int(state.get("micro", self.step * self._update_freq))
         self.train_time = float(state.get("train_time", 0.0))
         self._rng = jax.device_put(
             state["rng"], NamedSharding(self.mesh, P()))

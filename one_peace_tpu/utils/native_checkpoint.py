@@ -96,14 +96,9 @@ def load_params(path: str, dtype=None):
     for k in bf16_keys:
         flat[k] = flat[k].view(ml_dtypes.bfloat16)
     tree = _unflatten(flat)
+    from .checkpoint_convert import to_jax
 
-    def cast(x):
-        arr = jnp.asarray(x)
-        if dtype is not None and jnp.issubdtype(arr.dtype, jnp.floating):
-            arr = arr.astype(dtype)
-        return arr
-
-    return jax.tree.map(cast, tree)
+    return to_jax(tree, dtype)
 
 
 def load_metadata(path: str) -> Optional[Dict]:

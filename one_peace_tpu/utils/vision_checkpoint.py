@@ -185,13 +185,8 @@ def convert_video_backbone(sd: Dict[str, np.ndarray], backbone,
 
 
 def _to_jnp(params, dtype=None):
-    import jax
-    import jax.numpy as jnp
+    # one float-cast tree mapper for the whole package (a dtype-policy
+    # change must not have to be replicated across loaders)
+    from .checkpoint_convert import to_jax
 
-    def cast(x):
-        a = jnp.asarray(x)
-        if dtype is not None and jnp.issubdtype(a.dtype, jnp.floating):
-            a = a.astype(dtype)
-        return a
-
-    return jax.tree.map(cast, params)
+    return to_jax(params, dtype)

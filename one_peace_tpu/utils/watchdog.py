@@ -38,9 +38,13 @@ class Watchdog:
         # completed and kill a healthy process)
         self._timers: list = []
         self._tripped = threading.Event()
+        self._fired_at = 0.0
         self._section = ""
 
     def _fire(self):
+        import time
+
+        self._fired_at = time.monotonic()
         self._tripped.set()
         if self.action == "kill":
             # the reference sends SIGKILL to the hung rank (ref :88-97)
@@ -72,12 +76,32 @@ class _Guard:
         self.wd._timers.append(self._timer)
         return self
 
+    # a KeyboardInterrupt arriving this long after the timer fired is the
+    # user's Ctrl-C, not the watchdog's interrupt_main still in flight —
+    # without the window, a stale tripped flag from an earlier (handled)
+    # timeout would convert a genuine Ctrl-C into WatchdogTimeout and
+    # send orchestration back into its retry loop
+    _CONVERT_WINDOW_S = 10.0
+
     def __exit__(self, exc_type, exc, tb):
+        import time
+
         self._timer.cancel()
         if self._timer in self.wd._timers:
             self.wd._timers.remove(self._timer)
         if exc_type is KeyboardInterrupt and self.wd.tripped:
-            raise WatchdogTimeout(
-                f"section {self.section or self.wd._section!r} exceeded "
-                f"{self.wd.timeout}s") from None
+            recent = (time.monotonic() - self.wd._fired_at
+                      < self._CONVERT_WINDOW_S)
+            # consume the flag either way: the interrupt it flagged has
+            # now been delivered
+            self.wd._tripped.clear()
+            if recent:
+                raise WatchdogTimeout(
+                    f"section {self.section or self.wd._section!r} exceeded "
+                    f"{self.wd.timeout}s") from None
+        # NOTE: if the timer fires in the same instant the section
+        # completes, interrupt_main's KeyboardInterrupt can be delivered
+        # after this cancel — it then surfaces inside the NEXT guard
+        # (converted there by the recency check) or, with no guard active,
+        # as a plain KeyboardInterrupt the caller must treat as fatal.
         return False

@@ -429,3 +429,66 @@ def test_dcl_gallery_chunks_match_manual_split():
         float(dcl_loss(student, teacher, mask, pad, 2.5, 0.1)),
         float(dcl_loss(student, teacher, mask, pad, 2.5, 0.1,
                        gallery_chunks=1)))
+
+
+def test_config_coercion_failure_raises_with_key():
+    """A typo'd scalar override (batch_size=1o0) must fail AT CONFIG TIME
+    naming the key — the old code swallowed the coercion error and stored
+    the raw string, crashing much later deep in the batch iterator."""
+    from one_peace_tpu.core.config import load_config
+
+    with pytest.raises(ValueError, match="batch_size"):
+        load_config(None, ["dataset.batch_size=1o0"])
+    # good values still coerce (string -> int via the float path)
+    cfg = load_config(None, ["dataset.batch_size=64"])
+    assert cfg.dataset.batch_size == 64
+
+
+def test_watchdog_stale_flag_does_not_convert_user_ctrl_c():
+    """After a handled timeout, a genuine Ctrl-C minutes later must NOT be
+    converted into WatchdogTimeout by the stale tripped flag (it would send
+    orchestration back into its retry loop instead of aborting)."""
+    import time
+
+    from one_peace_tpu.utils.watchdog import Watchdog, WatchdogTimeout
+
+    wd = Watchdog(timeout=0.2, action="raise")
+    with pytest.raises(WatchdogTimeout):
+        with wd.guard("slow"):
+            time.sleep(2.0)
+    # the conversion consumed the flag
+    assert not wd.tripped
+
+    # stale-fire scenario: flag set long ago, user presses Ctrl-C now
+    wd._tripped.set()
+    wd._fired_at = time.monotonic() - 60.0
+    with pytest.raises(KeyboardInterrupt):
+        with wd.guard("interactive"):
+            raise KeyboardInterrupt
+    assert not wd.tripped  # consumed either way
+
+    # recent-fire scenario (delivered-late interrupt): still converted
+    wd._tripped.set()
+    wd._fired_at = time.monotonic()
+    with pytest.raises(WatchdogTimeout):
+        with wd.guard("late-delivery"):
+            raise KeyboardInterrupt
+
+
+def test_initialize_multihost_forwards_explicit_topology(monkeypatch):
+    """num_processes/process_id must reach jax.distributed.initialize even
+    when coordinator_address comes from env auto-detection (they used to be
+    dropped unless the address was also passed explicitly)."""
+    import jax
+
+    from one_peace_tpu.parallel.mesh import initialize_multihost
+
+    seen = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: seen.update(kw))
+    initialize_multihost(num_processes=4, process_id=2)
+    assert seen == {"num_processes": 4, "process_id": 2}
+    seen.clear()
+    initialize_multihost("host:1234", 8, 0)
+    assert seen == {"coordinator_address": "host:1234",
+                    "num_processes": 8, "process_id": 0}

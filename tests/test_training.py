@@ -555,3 +555,44 @@ def test_ema_eval_source_and_best_export(tmp_path):
     task = Task()
     task.uses_ema = False  # task override beats the config default
     assert _eval_params_source(cfg, task, trainer) is trainer.params
+
+
+def test_mid_accumulation_resume_completes_pending_update():
+    """An epoch-end save can land MID-accumulation (epoch length not
+    divisible by update_freq). The bundle carries MultiSteps' partial
+    grads in opt_state and now the micro-step too — after resume, ONE more
+    micro-batch must complete the pending accumulation (step advances,
+    params move). The legacy derivation micro = step*update_freq restarted
+    the window, permanently desyncing the EMA/step gates from the actual
+    optimizer updates."""
+    from one_peace_tpu.criterions import build_criterion
+    from one_peace_tpu.models.one_peace import OnePeaceRetrievalModel
+    from one_peace_tpu.trainer import Trainer
+
+    cfg = _tiny_framework_cfg()
+    cfg.distributed.fsdp = 1
+    cfg.distributed.tp = 1
+    cfg.optimization.update_freq = 2
+    model = OnePeaceRetrievalModel(cfg.model)
+    criterion = build_criterion(cfg.criterion)
+    trainer = Trainer(cfg, model, criterion)
+
+    rs = np.random.RandomState(0)
+    batch = {
+        "src_tokens": rs.randint(5, 99, (8, 8)),
+        "src_images": rs.randn(8, 3, 32, 32).astype(np.float32),
+    }
+    for _ in range(3):  # 1.5 accumulation windows
+        trainer.train_step(batch)
+    assert trainer.step == 1 and trainer._micro == 3
+
+    state = jax.device_get(trainer.state_dict())
+    trainer2 = Trainer(cfg, OnePeaceRetrievalModel(cfg.model), criterion)
+    trainer2.load_state_dict(state)
+    assert trainer2.step == 1 and trainer2._micro == 3
+
+    before = np.asarray(trainer2.params["text_proj"]["w"])
+    trainer2.train_step(batch)  # completes the half-done accumulation
+    assert trainer2.step == 2
+    assert not np.array_equal(before,
+                              np.asarray(trainer2.params["text_proj"]["w"]))
