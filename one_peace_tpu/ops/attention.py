@@ -31,10 +31,6 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 def _combine_bias(
     rel_bias: Optional[jnp.ndarray],
     key_padding_mask: Optional[jnp.ndarray],
-    batch: int,
-    heads: int,
-    q_len: int,
-    k_len: int,
 ) -> Optional[jnp.ndarray]:
     """Materialize the full additive bias (B, H, Lq, Lk) in fp32.
 
@@ -222,7 +218,7 @@ def multihead_attention(
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scaling
-    bias = _combine_bias(rel_bias, key_padding_mask, b, h, lq, lk)
+    bias = _combine_bias(rel_bias, key_padding_mask)
     if bias is not None:
         logits = logits + bias
     # fp32 softmax (ref uses utils.softmax in fp32: multihead_attention.py:112);

@@ -46,7 +46,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import INTERPRET as _FA_INTERPRET
 
 
 def toeplitz_tables(table: jnp.ndarray, src_bucket: int,
@@ -87,6 +86,22 @@ def _pick_rows_any(hg: int, wg: int, target: int = 512) -> int:
     return min(divs, key=lambda c: (abs(c * wg - target), c))
 
 
+def _head_pack(heads: int, dh: int):
+    """Lane-legal head pack: qkv blocks carry m*dh lanes, which Mosaic
+    requires to be a 128-multiple (the m*dh minor dim is a strict slice of
+    the H*dh axis, so the full-axis exemption never applies).  Measured
+    default first (m=2 for dh 64/128), then the smallest legal wider pack
+    (e.g. dh=96 -> m=4, 384 lanes); None when no divisor of ``heads``
+    yields a legal block <= 512 lanes — the caller falls back to XLA."""
+    m = 2 if (heads % 2 == 0 and dh * 2 <= 256 and (dh * 2) % 128 == 0) else 1
+    if (dh * m) % 128 == 0:
+        return m
+    for m in range(2, heads + 1):
+        if heads % m == 0 and (m * dh) % 128 == 0 and m * dh <= 512:
+            return m
+    return None
+
+
 def _tiling(heads: int, dh: int, hg: int, wg: int, tq: int = 512,
             tk: int = 1024):
     """Shared tile selection for the fwd and bwd kernels: head pack m,
@@ -96,8 +111,9 @@ def _tiling(heads: int, dh: int, hg: int, wg: int, tq: int = 512,
     10.0 ms -> 512/2048 7.66 ms (fewer k-steps amortize bookkeeping) ->
     512/1024 + double-buffered slab prefetch 7.60 ms.  2048 with two
     slab slots exceeds the 16 MB scoped-VMEM budget, so 1024 it is."""
-    m = 2 if (heads % 2 == 0 and dh * 2 <= 256 and (dh * 2) % 128 == 0) else 1
-    if (dh * m) % 128:
+    m = _head_pack(heads, dh)
+    if m is None:
+        assert _interpret(), (heads, dh)  # gated by det_flash_supported
         m = 1
     c = _pick_rows(hg, wg, target=tq)
     ck = _pick_rows(hg, wg, target=tk)
@@ -190,7 +206,8 @@ def _make_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep, has_decomp,
     return kernel
 
 
-def _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling, with_lse=False):
+def _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling, heads,
+                   with_lse=False):
     """q/k/v (B, L, H*dh); toep (H, 2hg-1, wg, wg) | None;
     bh (B, H, hg, L) | None; bw (B, H, L, wg) | None.
     With ``with_lse`` also returns the per-row softmax log-sum-exp
@@ -198,7 +215,6 @@ def _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling, with_lse=False):
     re-materialize probabilities without an online max."""
     b, l, hdim = q.shape
     hg, wg = hw
-    heads = (toep.shape[0] if toep is not None else bh.shape[1])
     dh = hdim // heads
     import os
 
@@ -480,7 +496,8 @@ def _make_bwd_dkv_kernel(m, dh, c, ck, hg, wg, wg_pad, scaling, has_toep,
     return kernel
 
 
-def _det_flash_bwd(q, k, v, toep, bh, bw, out, dout, lse, hw, scaling):
+def _det_flash_bwd(q, k, v, toep, bh, bw, out, dout, lse, hw, scaling,
+                   heads):
     """Pallas backward.  Returns (dq, dk, dv, dtoep, dbh, dbw) — the first
     three in the input dtype, the bias cotangents fp32 (dbh/dbw/dtoep are
     None when the corresponding bias is absent)."""
@@ -488,7 +505,6 @@ def _det_flash_bwd(q, k, v, toep, bh, bw, out, dout, lse, hw, scaling):
 
     b, l, hdim = q.shape
     hg, wg = hw
-    heads = (toep.shape[0] if toep is not None else bh.shape[1])
     dh = hdim // heads
     # smaller k tile than fwd: the dq pass additionally keeps the dtoep
     # slab accumulator (m*(c+hg-1), wg, wg_pad fp32) resident in VMEM
@@ -738,11 +754,11 @@ def _xla_core(q, k, v, toep, bh, bw, hw, scaling, heads):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _det_attention_core(q, k, v, toep, bh, bw, hw, scaling, heads):
-    return _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling)
+    return _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling, heads)
 
 
 def _core_fwd(q, k, v, toep, bh, bw, hw, scaling, heads):
-    out, lse = _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling,
+    out, lse = _det_flash_fwd(q, k, v, toep, bh, bw, hw, scaling, heads,
                               with_lse=True)
     return out, (q, k, v, toep, bh, bw, out, lse)
 
@@ -759,7 +775,7 @@ def _core_bwd(hw, scaling, heads, res, g):
     q, k, v, toep, bh, bw, out, lse = res
     if os.environ.get("ONE_PEACE_DET_BWD", "pallas") != "xla":
         return _det_flash_bwd(q, k, v, toep, bh, bw, out, g, lse, hw,
-                              scaling)
+                              scaling, heads)
     has_decomp = bh is not None
     has_toep = toep is not None
 
@@ -875,4 +891,5 @@ def det_flash_supported(hw: Tuple[int, int], heads: int, dh: int) -> bool:
     if _flash_mode() == "off":
         return False
     return hg >= 2 and wg >= 2 and (dh % 8 == 0) \
+        and _head_pack(heads, dh) is not None \
         and _pick_rows(hg, wg) is not None

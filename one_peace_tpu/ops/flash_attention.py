@@ -67,6 +67,11 @@ INTERPRET = bool(int(os.environ.get("ONE_PEACE_PALLAS_INTERPRET", "0")))
 # on the VPU instead of fp32.  Trades parity-exact numerics for VPU
 # throughput; the max subtraction stays fp32 so it is still safe.  The
 # parity default is fp32 (ref softmax is fp32: multihead_attention.py:112).
+# SCOPE: the flag affects the XLA path in ops/attention.py ONLY.  The
+# Pallas kernels stay fp32 unconditionally — measured a no-op there
+# (760.3 vs 756.3 img/s, fp32 exp already overlapped in VMEM), and the
+# custom-vjp backward/fallbacks recompute the softmax in fp32, so a bf16
+# forward would silently differentiate a different function.
 _SOFTMAX_BF16 = os.environ.get("ONE_PEACE_SOFTMAX", "fp32") == "bf16"
 
 # Legacy v2 behavior: pad L to the 128 grain with XLA jnp.pad outside the
@@ -120,6 +125,10 @@ def _pad_inputs(q, k, v, rel_bias, key_bias):
         q = jnp.pad(q, ((0, 0), (0, lpad - l), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, lpad - l), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, lpad - l), (0, 0)))
+        if key_bias is None:
+            # the padded columns must be -inf'd even on mask-free branches
+            # (this legacy path has no in-kernel garbage masks)
+            key_bias = jnp.zeros((b, l), jnp.float32)
         key_bias = jnp.pad(key_bias, ((0, 0), (0, lpad - l)),
                            constant_values=NEG_INF)
         if rel_bias is not None:
@@ -154,11 +163,13 @@ def _bias_spec(bias_batched: bool, has_bias: bool, m: int, blk_q: int,
                         memory_space=pltpu.VMEM)
 
 
-def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, l, blk_q, lpad):
+def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, has_kb,
+                     l, blk_q, lpad):
     masked = lpad != l  # OOB block region is uninitialized VMEM, not zeros
 
     def kernel(q_ref, k_ref, v_ref, bias_ref, kb_ref, o_ref):
-        row = kb_ref[pl.ds(pl.program_id(2), 1), :].astype(jnp.float32)
+        if has_kb:
+            row = kb_ref[pl.ds(pl.program_id(2), 1), :].astype(jnp.float32)
         if masked:
             col_ok = jax.lax.broadcasted_iota(
                 jnp.int32, (blk_q, lpad), 1) < l
@@ -175,18 +186,15 @@ def _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, l, blk_q, lpad):
             if has_bias:
                 bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
                 s = s + bias_i.astype(jnp.float32)
-            s = s + row  # (1, Lk) broadcasts over query rows
+            if has_kb:  # mask-free branches compile the add away entirely
+                s = s + row  # (1, Lk) broadcasts over query rows
             if masked:
                 # key cols >= l carry garbage scores (incl. possible NaN
                 # from garbage bias/kb reads): overwrite, don't add
                 s = jnp.where(col_ok, s, NEG_INF)
             mx = jnp.max(s, axis=-1, keepdims=True)
-            if _SOFTMAX_BF16:
-                e = jnp.exp((s - mx).astype(jnp.bfloat16))
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
-            else:
-                e = jnp.exp(s - mx)
-                p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
+            e = jnp.exp(s - mx)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(v_ref.dtype)
             v = v_ref[0][:, sl]
             if masked:
                 # p is exactly 0 at cols >= l, but 0 * NaN = NaN on the
@@ -215,6 +223,12 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
     bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
+    has_kb = key_bias is not None
+    kb_arg = key_bias if has_kb else jnp.zeros((8, 128), jnp.float32)
+    kb_spec = (pl.BlockSpec((b, lpad), lambda hi, qi, bi: (0, 0),
+                            memory_space=pltpu.VMEM) if has_kb else
+               pl.BlockSpec((8, 128), lambda hi, qi, bi: (0, 0),
+                            memory_space=pltpu.VMEM))
 
     qkv_spec = lambda lblk: pl.BlockSpec(  # noqa: E731
         (1, lblk, m * dh),
@@ -223,7 +237,7 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched,
+        _make_fwd_kernel(m, dh, scaling, has_bias, bias_batched, has_kb,
                          l, blk_q, lpad),
         grid=(heads // m, -(-l // blk_q), b),
         in_specs=[
@@ -231,19 +245,19 @@ def _flash_fwd(q, k, v, rel_bias, key_bias, scaling, heads):
             qkv_spec(lpad),
             qkv_spec(lpad),
             _bias_spec(bias_batched, has_bias, m, blk_q, lpad, 3),
-            pl.BlockSpec((b, lpad), lambda hi, qi, bi: (0, 0),
-                         memory_space=pltpu.VMEM),
+            kb_spec,
         ],
         out_specs=pl.BlockSpec((1, blk_q, m * dh),
                                lambda hi, qi, bi: (bi, qi, hi),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l, hdim), q.dtype),
         interpret=INTERPRET,
-    )(q, k, v, bias_arg, key_bias)
+    )(q, k, v, bias_arg, kb_arg)
     return out
 
 
-def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lsub, lpad):
+def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, has_kb,
+                     l, lsub, lpad):
     # OOB block fill is uninitialized VMEM, not zeros.  q/g rows live on
     # the lsub (16-row) grain, k/v rows on the lpad (128-lane) grain —
     # s/p/ds are (lsub, lpad) so every matmul streams only ceil16(L) q rows.
@@ -253,7 +267,8 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lsub, lpad):
     def kernel(q_ref, k_ref, v_ref, g_ref, bias_ref, kb_ref,
                dq_ref, dk_ref, dv_ref, dbias_ref):
         bi = pl.program_id(1)
-        row = kb_ref[pl.ds(bi, 1), :].astype(jnp.float32)
+        if has_kb:
+            row = kb_ref[pl.ds(bi, 1), :].astype(jnp.float32)
         if masked_q:
             # garbage q/g rows meet a zero weight somewhere downstream
             # (0 * NaN = NaN): zero them at load, and keep p exactly zero
@@ -282,7 +297,8 @@ def _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, l, lsub, lpad):
             if has_bias:
                 bias_i = bias_ref[0][i] if bias_batched else bias_ref[i]
                 s = s + bias_i.astype(jnp.float32)
-            s = s + row
+            if has_kb:
+                s = s + row
             if masked_kv:
                 s = jnp.where(scol_ok, s, NEG_INF)
             mx = jnp.max(s, axis=-1, keepdims=True)
@@ -362,6 +378,12 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
     has_bias = rel_bias is not None
     bias_batched = has_bias and rel_bias.ndim == 4
     bias_arg = rel_bias if has_bias else jnp.zeros((1, 8, 128), jnp.float32)
+    has_kb = key_bias is not None
+    kb_arg = key_bias if has_kb else jnp.zeros((8, 128), jnp.float32)
+    kb_spec = (pl.BlockSpec((b, lpad), lambda hi, bi: (0, 0),
+                            memory_space=pltpu.VMEM) if has_kb else
+               pl.BlockSpec((8, 128), lambda hi, bi: (0, 0),
+                            memory_space=pltpu.VMEM))
 
     def _spec(lblk):
         return pl.BlockSpec((1, lblk, m * dh),
@@ -385,19 +407,18 @@ def _flash_bwd(q, k, v, g, rel_bias, key_bias, scaling, heads):
                                       memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
-        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched,
+        _make_bwd_kernel(m, dh, scaling, has_bias, bias_batched, has_kb,
                          l, lsub, lpad),
         grid=(heads // m, b),
         in_specs=[
             qg_spec, _spec(lpad), _spec(lpad), qg_spec,
             _bias_spec(bias_batched, has_bias, m, lsub, lpad, 2),
-            pl.BlockSpec((b, lpad), lambda hi, bi: (0, 0),
-                         memory_space=pltpu.VMEM),
+            kb_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=INTERPRET,
-    )(q, k, v, g, bias_arg, key_bias)
+    )(q, k, v, g, bias_arg, kb_arg)
     dq, dk, dv, dbias = res
     return dq, dk, dv, (dbias if has_bias else None)
 
@@ -413,7 +434,8 @@ def _xla_reference(q, k, v, rel_bias, key_bias, scaling, heads):
                         preferred_element_type=jnp.float32) * scaling
     if rel_bias is not None:
         logits = logits + (rel_bias if rel_bias.ndim == 4 else rel_bias[None])
-    logits = logits + key_bias[:, None, None, :]
+    if key_bias is not None:
+        logits = logits + key_bias[:, None, None, :]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
     return out.reshape(b, l, hdim)
@@ -475,10 +497,13 @@ def flash_attention(
     q3 = q.reshape(b, l, h * d)
     k3 = k.reshape(b, l, h * d)
     v3 = v.reshape(b, l, h * d)
+    # mask-free branches (the image branch, L=257 headline path) thread
+    # key_bias=None: the kernels specialize the (1, Lk) row add away and
+    # skip the (B, lpad) VMEM fetch entirely
     if key_padding_mask is not None:
         key_bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
     else:
-        key_bias = jnp.zeros((b, l), jnp.float32)
+        key_bias = None
     if rel_bias is not None:
         rel_bias = rel_bias.astype(jnp.float32)
     if _FORCE_PAD:  # legacy v2 escape hatch: XLA pad copies outside

@@ -25,6 +25,15 @@ from jax.experimental.pallas import tpu as pltpu
 BM, BN, BK = 256, 512, 512
 
 
+def _interpret() -> bool:
+    """Honor ONE_PEACE_PALLAS_INTERPRET like every other kernel in ops/
+    (read at trace time through the flash_attention module attribute so
+    tests can monkeypatch it)."""
+    from . import flash_attention
+
+    return flash_attention.INTERPRET
+
+
 def _kernel(x_ref, w_ref, sx_ref, sw_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -80,6 +89,7 @@ def int8_matmul(x_q: jnp.ndarray, w_q: jnp.ndarray, sx: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        interpret=_interpret(),
     )(x_q, w_q, sx.reshape(1, -1).astype(jnp.float32),
       sw.reshape(1, -1).astype(jnp.float32))
     return out[:m, :n]

@@ -60,7 +60,9 @@ def test_toeplitz_slice_matches_smaller_grid():
 
 
 @pytest.mark.parametrize("use_toep,use_decomp",
-                         [(True, True), (True, False), (False, True)])
+                         [(True, True), (True, False), (False, True),
+                          (False, False)])  # no-bias: heads must not be
+                                            # derived from toep/bh (crash)
 def test_kernel_matches_xla(use_toep, use_decomp):
     rs = np.random.RandomState(2)
     q, k, v = _qkv(rs)
@@ -237,3 +239,19 @@ def test_shard_map_det_indivisible_batch_falls_back(monkeypatch):
         toep, None, None, (HG, WG), SCALING, HEADS)
     np.testing.assert_allclose(np.asarray(out.reshape(3, L, -1)),
                                np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_head_pack_lane_legality():
+    """qkv blocks carry m*dh lanes; Mosaic needs a 128-multiple.  The
+    support gate must reject geometries with no legal pack (falling back
+    to XLA) instead of passing them to a lowering failure."""
+    assert da._head_pack(16, 64) == 2      # measured default
+    assert da._head_pack(16, 128) == 2     # measured default
+    assert da._head_pack(8, 96) == 4       # 384 lanes
+    assert da._head_pack(6, 96) is None    # no divisor of 6 works
+    assert da._head_pack(7, 64) is None    # 448 lanes is not 128-aligned
+    assert da._head_pack(4, 32) == 4       # 128 lanes, full pack
+    assert da._head_pack(16, 8) == 16      # tiny heads pack fully
+    for heads, dh in [(16, 64), (8, 96), (4, 32)]:
+        m = da._head_pack(heads, dh)
+        assert heads % m == 0 and (m * dh) % 128 == 0 and m * dh <= 512

@@ -118,3 +118,38 @@ def test_quantized_tree_keeps_sharding_rules():
         == __import__("jax").sharding.PartitionSpec(None, "tp", "fsdp")
     assert spec_for_path("encoder_wrapper/fusion/layers/image_ffn/wo/w_scale", 2) \
         == __import__("jax").sharding.PartitionSpec(None, "fsdp")
+
+
+def test_int8_matmul_pallas_interpret():
+    """The Pallas int8 kernel (ONE_PEACE_INT8_IMPL=pallas) must be
+    CPU-testable through the interpreter like every other kernel in ops/;
+    exercises the int32 VMEM accumulator, the per-row/per-channel scale
+    application, and all three padding paths (M, K, N not block
+    multiples)."""
+    import pytest
+
+    from one_peace_tpu.ops import flash_attention as fa
+    from one_peace_tpu.ops.quant_pallas import int8_matmul
+
+    if jax.default_backend() == "cpu":
+        mp = pytest.MonkeyPatch()
+        mp.setattr(fa, "INTERPRET", True)
+    else:
+        mp = None
+    try:
+        rs = np.random.RandomState(0)
+        for m, k, n in [(8, 64, 128), (13, 100, 70), (260, 520, 515)]:
+            x_q = rs.randint(-127, 128, (m, k)).astype(np.int8)
+            w_q = rs.randint(-127, 128, (k, n)).astype(np.int8)
+            sx = (rs.rand(m) * 0.01 + 1e-4).astype(np.float32)
+            sw = (rs.rand(n) * 0.01 + 1e-4).astype(np.float32)
+            got = np.asarray(int8_matmul(
+                jnp.asarray(x_q), jnp.asarray(w_q), jnp.asarray(sx),
+                jnp.asarray(sw), out_dtype=jnp.float32))
+            want = (x_q.astype(np.int64) @ w_q.astype(np.int64)
+                    ).astype(np.float64) * sx[:, None] * sw[None, :]
+            np.testing.assert_allclose(got, want.astype(np.float32),
+                                       rtol=1e-5, atol=1e-6)
+    finally:
+        if mp is not None:
+            mp.undo()
