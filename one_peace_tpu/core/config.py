@@ -126,7 +126,9 @@ class EncoderConfig:
     # remat granularity when checkpoint_activations is on: 'full' replays
     # the whole layer in bwd; 'qkv' additionally saves the named q/k/v
     # projections so the replay skips the qkv dots + attention fwd
-    # (more memory, less recompute)
+    # (more memory, less recompute); 'offload_qkv' parks those saves in
+    # pinned host DRAM instead of HBM (the reference's offload_activations,
+    # unify_model_config.py:208-213, as a TPU host-offload)
     remat_policy: str = "full"
 
     # attention implementation: 'pallas' (fused flash kernel; falls back

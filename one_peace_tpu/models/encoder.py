@@ -336,7 +336,8 @@ class FusionEncoder:
             return out, (out if return_all_hiddens else None)
 
         if cfg.checkpoint_activations:
-            if getattr(cfg, "remat_policy", "full") == "qkv":
+            policy = getattr(cfg, "remat_policy", "full")
+            if policy == "qkv":
                 # save the named qkv projections (+75 MB/layer at B=32,
                 # L=257, d=1536 bf16): the bwd replay skips 3 of the 16
                 # matmul-units per layer (measured +1.6% train at B=16,
@@ -345,6 +346,20 @@ class FusionEncoder:
                     body,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "qkv"))
+            elif policy == "offload_qkv":
+                # TPU-native analogue of the reference's offload_activations
+                # (ref unify_model_config.py:208-213 checkpoints then saves
+                # to CPU): the named qkv saves move to pinned host DRAM
+                # instead of occupying HBM — same bwd-replay savings as
+                # 'qkv' without its +75 MB/layer HBM cost, paid in
+                # host<->device DMA that XLA overlaps with compute
+                body = jax.checkpoint(
+                    body,
+                    policy=jax.checkpoint_policies
+                    .save_and_offload_only_these_names(
+                        names_which_can_be_saved=[],
+                        names_which_can_be_offloaded=["qkv"],
+                        offload_src="device", offload_dst="pinned_host"))
             else:
                 body = jax.checkpoint(body)
 

@@ -223,3 +223,9 @@ def test_remat_policies_identical_grads():
     assert float(l_full) == float(l_qkv)
     for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_qkv)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # host-offloaded saves (the reference's offload_activations analogue):
+    # same math, saves parked in pinned host memory
+    l_off, g_off = grads_for("offload_qkv")
+    assert float(l_full) == float(l_off)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
