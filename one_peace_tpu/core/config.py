@@ -199,6 +199,8 @@ class TaskConfig:
     data: str = ""
     valid_data: str = ""
     selected_cols: str = ""
+    # TSV column separator (ref base_task.py:61 reader_separator)
+    reader_separator: str = "\t"
     bpe_dir: str = ""
     max_src_length: int = 70
     patch_image_size: int = 256
@@ -220,9 +222,17 @@ class TaskConfig:
     num_classes: int = 1000
     mixup: float = 0.0
     cutmix: float = 0.0
+    # timm Mixup extras (ref image_classify.py:26-58): cutmix_minmax
+    # "0.2,0.8" samples the cut box side-ratio uniformly instead of from
+    # the beta lam; mixup_mode batch | pair | elem
+    cutmix_minmax: str = ""
+    mixup_mode: str = "batch"
     mixup_prob: float = 1.0
     mixup_switch_prob: float = 0.5
     label_smoothing: float = 0.0
+    # eval transform: shorter-side resize + center crop instead of the
+    # square stretch (ref image_classify_dataset.py:78-84)
+    center_crop: bool = False
     # vision-transfer apps (coco_detection / ade20k_seg / k400_video):
     # ``data``/``valid_data`` hold the annotation file (COCO json, video
     # ann txt) or the "img_dir:ann_dir" pair (seg); image roots go here
@@ -535,7 +545,12 @@ def apply_dot_overrides(cfg: Any, dotlist: List[str]) -> Any:
         if "=" not in item:
             raise ValueError(f"override {item!r} is not of form key=value")
         key, _, raw = item.partition("=")
-        value = yaml.safe_load(raw)
+        try:
+            value = yaml.safe_load(raw)
+        except yaml.YAMLError:
+            # values that are not valid YAML scalars (a bare ',' for
+            # reader_separator, stray '{') are taken as literal strings
+            value = raw
         node: Dict[str, Any] = {}
         cursor = node
         parts = key.strip().split(".")

@@ -45,6 +45,22 @@ def resize_image(img, size: int):
     return img.resize((size, size), Image.BICUBIC)
 
 
+def center_crop_image(img, size: int):
+    """torchvision Resize(size) (shorter side, bicubic) + CenterCrop(size)
+    (ref image_classify_dataset.py:78-84 center_crop eval transform)."""
+    from PIL import Image
+
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(size, int(round(h * size / w)))
+    else:
+        nw, nh = max(size, int(round(w * size / h))), size
+    img = img.resize((nw, nh), Image.BICUBIC)
+    x0 = int(round((nw - size) / 2.0))
+    y0 = int(round((nh - size) / 2.0))
+    return img.crop((x0, y0, x0 + size, y0 + size))
+
+
 def random_resized_crop(rng: np.random.RandomState, img, size: int,
                         min_scale: float = 0.9, max_scale: float = 1.0):
     """torchvision RandomResizedCrop (scale in [min_scale, max_scale],

@@ -25,6 +25,7 @@ import numpy as np
 from .base_dataset import (
     BaseDataset,
     audio_postprocess,
+    center_crop_image,
     clean_text,
     horizontal_flip,
     normalize_image,
@@ -408,9 +409,11 @@ class ImageClassifyDataset(BaseDataset):
     applied by the image_classify task iterator (tasks.py)."""
 
     def __init__(self, split, table, tokenizer, dataset_dir="",
-                 patch_image_size=384, seed=3407, **_unused):
+                 patch_image_size=384, center_crop=False, seed=3407,
+                 **_unused):
         super().__init__(split, table, tokenizer, dataset_dir)
         self.patch_image_size = patch_image_size
+        self.center_crop = center_crop
         self.rng = np.random.RandomState(seed)
         if split == "train":
             from .randaugment import GaussianBlur, RandomAugment, RandomDistortion
@@ -428,7 +431,13 @@ class ImageClassifyDataset(BaseDataset):
 
     def __getitem__(self, index):
         image, label = self.table[index][:2]
-        img = resize_image(self.read_image(image), self.patch_image_size)
+        img = self.read_image(image)
+        if self.split != "train" and self.center_crop:
+            # ref image_classify_dataset.py:78-84: shorter-side bicubic
+            # resize + center crop instead of the square stretch
+            img = center_crop_image(img, self.patch_image_size)
+        else:
+            img = resize_image(img, self.patch_image_size)
         if self.split == "train":
             img = self.distort(img)
             img = self.blur(img)

@@ -76,5 +76,7 @@ def expand_paths(spec: str) -> List[str]:
     return paths
 
 
-def load_tables(spec: str, selected_cols: Optional[str] = None) -> ConcatReader:
-    return ConcatReader([TSVReader(p, selected_cols) for p in expand_paths(spec)])
+def load_tables(spec: str, selected_cols: Optional[str] = None,
+                separator: str = "\t") -> ConcatReader:
+    return ConcatReader([TSVReader(p, selected_cols, separator)
+                         for p in expand_paths(spec)])

@@ -67,7 +67,8 @@ class BaseTask:
 
     def load_dataset(self, split: str):
         spec = self.cfg.data if split == "train" else self.cfg.valid_data
-        table = load_tables(spec, self.cfg.selected_cols or None)
+        table = load_tables(spec, self.cfg.selected_cols or None,
+                            self.cfg.reader_separator)
         dataset_dir = os.path.dirname(os.path.abspath(
             spec.split(",")[0])) if spec else ""
         self.datasets[split] = self.dataset_cls(

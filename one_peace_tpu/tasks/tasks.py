@@ -253,19 +253,23 @@ class ImageClassifyTask(ClassifyTaskBase):
     criterion_name = "classify_criterion"
 
     def dataset_kwargs(self):
-        return {"patch_image_size": self.cfg.patch_image_size}
+        return {"patch_image_size": self.cfg.patch_image_size,
+                "center_crop": self.cfg.center_crop}
 
     def get_batch_iterator(self, split, batch_size, **kw):
         """Training batches optionally pass through Mixup/CutMix after
-        collation (ref image_classify_dataset.py:46-52 — batch mode),
-        replacing hard labels with soft targets."""
+        collation (ref image_classify_dataset.py:46-58 — mode/minmax
+        forwarded), replacing hard labels with soft targets."""
         itr = super().get_batch_iterator(split, batch_size, **kw)
         c = self.cfg
         if split == "train" and (c.mixup > 0 or c.cutmix > 0):
             from ..data.mixup import Mixup
 
+            minmax = (tuple(float(x) for x in c.cutmix_minmax.split(","))
+                      if c.cutmix_minmax else None)
             mixer = Mixup(c.mixup, c.cutmix, c.mixup_prob, c.mixup_switch_prob,
-                          c.label_smoothing, c.num_classes)
+                          c.label_smoothing, c.num_classes,
+                          mode=c.mixup_mode, cutmix_minmax=minmax)
             base_collate = itr.collate_fn
 
             def collate_with_mixup(samples):

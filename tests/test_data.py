@@ -492,3 +492,92 @@ def test_initialize_multihost_forwards_explicit_topology(monkeypatch):
     initialize_multihost("host:1234", 8, 0)
     assert seen == {"coordinator_address": "host:1234",
                     "num_processes": 8, "process_id": 0}
+
+
+def test_mixup_pair_elem_modes_and_minmax():
+    """timm-mode parity details: pair/elem partners come from the ORIGINAL
+    batch (not already-mixed rows), pair shares one lam+box both ways, and
+    cutmix_minmax bounds the cut side ratio."""
+    from one_peace_tpu.data.mixup import Mixup, rand_bbox_minmax
+
+    b, c, h, w = 6, 3, 16, 16
+    # constant-valued images so any pixel identifies its source sample
+    images = np.stack([np.full((c, h, w), float(i), np.float32)
+                       for i in range(b)])
+    targets = np.arange(b) % 3
+
+    for mode in ("pair", "elem"):
+        mix = Mixup(mixup_alpha=0.8, cutmix_alpha=1.0, prob=1.0,
+                    switch_prob=0.5, label_smoothing=0.0, num_classes=3,
+                    seed=1, mode=mode)
+        out, soft = mix(images.copy(), targets)
+        for i in range(b):
+            j = b - 1 - i
+            vals = np.unique(out[i])
+            # every pixel of out[i] is i, j, or a convex i/j blend —
+            # NEVER a third sample's value (the already-mixed-partner bug)
+            lo, hi = sorted((float(i), float(j)))
+            assert ((vals >= lo - 1e-5) & (vals <= hi + 1e-5)).all(), \
+                (mode, i, vals)
+        assert np.allclose(soft.sum(1), 1.0, atol=1e-6)
+
+    # pair: lam symmetric across the pair (one draw, one box)
+    mix = Mixup(mixup_alpha=0.8, cutmix_alpha=0.0, prob=1.0,
+                label_smoothing=0.0, num_classes=3, seed=2, mode="pair")
+    out, soft = mix(images.copy(), targets)
+    for i in range(b // 2):
+        j = b - 1 - i
+        # out[i] = lam*i + (1-lam)*j and out[j] = lam*j + (1-lam)*i
+        lam_i = (out[i, 0, 0, 0] - j) / (i - j)
+        lam_j = (out[j, 0, 0, 0] - i) / (j - i)
+        np.testing.assert_allclose(lam_i, lam_j, atol=1e-6)
+
+    # cutmix_minmax: cut sides uniformly bounded by the ratio pair
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        y0, y1, x0, x1 = rand_bbox_minmax(rng, 32, 32, (0.25, 0.5))
+        assert 32 * 0.25 <= (y1 - y0) < 32 * 0.5 + 1
+        assert 32 * 0.25 <= (x1 - x0) < 32 * 0.5 + 1
+        assert 0 <= y0 and y1 <= 32 and 0 <= x0 and x1 <= 32
+
+
+def test_center_crop_image_geometry():
+    """shorter-side resize + center crop (ref center_crop eval transform):
+    aspect preserved through the resize, exact output size, and the crop
+    is centered (a wide gradient image keeps its middle columns)."""
+    from PIL import Image
+
+    from one_peace_tpu.data.base_dataset import center_crop_image
+
+    arr = np.tile(np.arange(200, dtype=np.uint8)[None, :, None], (100, 1, 3))
+    img = Image.fromarray(arr)  # 200x100 (w x h), horizontal gradient
+    out = center_crop_image(img, 64)
+    assert out.size == (64, 64)
+    got = np.asarray(out)[:, :, 0].astype(np.float32)
+    # shorter side 100 -> 64 scales width to 128; crop keeps cols 32..96 of
+    # the gradient, i.e. values around [50, 150] of the original ramp
+    assert 40 < got[:, 0].mean() < 60 and 140 < got[:, -1].mean() < 160
+
+
+def test_reader_separator_reaches_tsv(tmp_path):
+    """task.reader_separator (ref base_task.py:61) must flow into the TSV
+    reader — comma-separated corpora parse correctly."""
+    from one_peace_tpu.data.tsv import load_tables
+
+    p = tmp_path / "data.csv"
+    p.write_text("id,text,label\n0,hello world,1\n1,bye,0\n")
+    table = load_tables(str(p), "id,text,label", separator=",")
+    assert len(table) == 2
+    assert table[0][1] == "hello world" and table[1][2] == "0"
+
+
+def test_dot_override_non_yaml_scalar():
+    """Override values that are not valid YAML (a bare ',' for
+    reader_separator) must be taken as literal strings, not crash the
+    parser."""
+    from one_peace_tpu.core.config import load_config
+
+    cfg = load_config(None, ["task.reader_separator=,",
+                             "task.cutmix_minmax=0.25,0.5"])
+    assert cfg.task.reader_separator == ","
+    assert cfg.task.cutmix_minmax == "0.25,0.5"
