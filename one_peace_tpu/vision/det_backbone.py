@@ -325,9 +325,14 @@ def det_layer(params, heads: int, x: jnp.ndarray, window_size: int,
 
     y = layer_norm(params["final_layer_norm"], x)
     ffn = params["image_ffn"]
-    y = gelu(linear(ffn["wi_0"], y)) * linear(ffn["wi_1"], y)
+    # serving-mode int8 dispatch (ops.quant.quantize_ffn_params turns
+    # wi_0/wi_1/wo into w_q/w_scale trees; same pattern as models/encoder)
+    from ..ops.quant import is_quantized, quantized_linear
+    lin = quantized_linear if is_quantized(ffn["wi_0"]) else linear
+    y = gelu(lin(ffn["wi_0"], y)) * lin(ffn["wi_1"], y)
     y = layer_norm(ffn["ffn_ln"], y)
-    y = linear(ffn["wo"], y)
+    y = (quantized_linear if is_quantized(ffn["wo"]) else linear)(
+        ffn["wo"], y)
     y = drop_path(rngs[1], y * params["gamma_2"], dpr, deterministic)
     return x + y
 

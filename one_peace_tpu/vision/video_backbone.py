@@ -137,9 +137,13 @@ def video_layer(params, heads: int, num_frames: int, adapter_scale: float,
     residual = x
     xn = layer_norm(params["final_layer_norm"], x)
     ffn = params["image_ffn"]
-    y = gelu(linear(ffn["wi_0"], xn)) * linear(ffn["wi_1"], xn)
+    # serving-mode int8 dispatch (same pattern as models/encoder)
+    from ..ops.quant import is_quantized, quantized_linear
+    lin = quantized_linear if is_quantized(ffn["wi_0"]) else linear
+    y = gelu(lin(ffn["wi_0"], xn)) * lin(ffn["wi_1"], xn)
     y = layer_norm(ffn["ffn_ln"], y)
-    y = linear(ffn["wo"], y)
+    y = (quantized_linear if is_quantized(ffn["wo"]) else linear)(
+        ffn["wo"], y)
     mlp = adapter(params["mlp_adapter"], xn, skip=False) * adapter_scale
     return residual + y * params["gamma_2"] + drop_path(
         rngs[2], mlp, dpr, deterministic)

@@ -64,6 +64,21 @@ def _cast_like(tree, dtype):
         tree)
 
 
+def quantize_serving_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Int8-quantize every trunk FFN (wi_0/wi_1/wo of any ``*_ffn`` block)
+    in a zoo param tree for serving: det/video backbone FFNs (their layer
+    fns dispatch on the converted tree at the call site, like
+    models/encoder) and the encoder FFNs of the seg stack.  The FFNs hold
+    ~75% of trunk FLOPs and the MXU runs int8 at 2x the bf16 rate
+    (ops/quant.py); heads/adapters/LNs stay full precision.  In-model
+    gains measured on the retrieval encoder: +8.7% image, +17.9% audio
+    serving (PARITY.md r5) — the 40-layer det/seg trunks share the same
+    FFN geometry."""
+    from ..ops.quant import quantize_ffn_params
+
+    return quantize_ffn_params(params)
+
+
 class OnePeaceDetector:
     """Cascade Mask R-CNN over the windowed ONE-PEACE trunk."""
 

@@ -153,3 +153,41 @@ def test_int8_matmul_pallas_interpret():
     finally:
         if mp is not None:
             mp.undo()
+
+
+def test_quantized_vision_trunks_close():
+    """zoo.quantize_serving_params converts det/video trunk FFNs to int8
+    (stacked layers via the vmapped quantizer) and the backbone layer fns
+    dispatch on the converted tree; outputs must stay close to fp32."""
+    from one_peace_tpu.vision.det_backbone import DetBackbone
+    from one_peace_tpu.vision.zoo import quantize_serving_params
+
+    rs = np.random.RandomState(0)
+    backbone = DetBackbone(embed_dim=32, ffn_embed_dim=64, heads=4, layers=4,
+                           bucket_size=4, pretrain_bucket_size=4,
+                           window_size=2, global_period=2,
+                           checkpoint_activations=False, attn_impl="xla")
+    params = backbone.init(jax.random.PRNGKey(0))
+    imgs = jnp.asarray(rs.randn(1, 3, 64, 64), jnp.float32)
+    ref = np.asarray(backbone(params, imgs))
+    qparams = quantize_serving_params(params)
+    got = np.asarray(backbone(qparams, imgs))
+    assert _cos(got, ref) > 0.999
+    # the quantized tree really is int8 (stacked: leading layer axis kept)
+    flat = jax.tree.leaves(qparams)
+    assert any(a.dtype == jnp.int8 for a in flat)
+
+
+def test_quantized_video_trunk_close():
+    from one_peace_tpu.vision.video_backbone import VideoClassifierV2
+    from one_peace_tpu.vision.zoo import quantize_serving_params
+
+    rs = np.random.RandomState(1)
+    model = VideoClassifierV2(embed_dim=32, ffn_embed_dim=64, heads=4,
+                              layers=2, num_classes=5, num_frames=4,
+                              bucket_size=4)
+    params = model.init(jax.random.PRNGKey(0))
+    vids = jnp.asarray(rs.randn(1, 4, 3, 64, 64), jnp.float32)
+    ref = np.asarray(model(params, vids))
+    got = np.asarray(model(quantize_serving_params(params), vids))
+    assert _cos(got, ref) > 0.999
